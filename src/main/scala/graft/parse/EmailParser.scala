@@ -1,0 +1,261 @@
+package graft.parse
+
+import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction, StandardCharsets}
+import graft.model.{LayoutElement, SectionOut}
+import scala.collection.mutable
+
+/** From-scratch RFC-822/MIME parser matching CPython's `email` stdlib on the
+  * corpus subset (reference: `src/normalization/extractors/email_extractor.py`).
+  *
+  * Verified-by-execution parity points (see EmailParserSpec):
+  *  - header block ends at the first blank line; CRLF and LF both accepted;
+  *  - header value = text after ':' with LEADING whitespace stripped only
+  *    (trailing spaces kept), first occurrence wins, names case-insensitive;
+  *  - singlepart `get_payload(decode=True)` = raw body bytes with the
+  *    content-transfer-encoding (base64 / quoted-printable) applied;
+  *  - multipart: parts delimited by `--boundary` lines; the line terminator
+  *    before a boundary belongs to the delimiter; text/plain payloads are
+  *    concatenated in document order with NO separator
+  *    (`email_extractor.py:76-85`);
+  *  - decode with charset (param, lowercased, default utf-8), errors ignored.
+  *
+  * Scope (SURVEY §7.3 R5): no folded headers, no nested multiparts, no
+  * message/rfc822 — the corpus generator stays inside this subset; anything
+  * else routes to the error channel upstream.
+  */
+object EmailParser {
+
+  final case class Parsed(
+      headers: Map[String, String], // lowercased name -> first value
+      fullText: String,
+      layout: Seq[LayoutElement],
+      isMultipart: Boolean)
+
+  private val HeaderFields = Seq("From", "To", "Subject", "Date", "Cc", "Bcc")
+
+  def parse(raw: String): Parsed = {
+    val (headerLines, body) = splitHeadersBody(raw)
+    val allHeaders = parseHeaders(headerLines)
+    // _extract_headers: only the six fields, lowercased keys, first value.
+    val headers = HeaderFields.flatMap { f =>
+      allHeaders.get(f.toLowerCase).map(f.toLowerCase -> _)
+    }.toMap
+    val ctype = contentType(allHeaders)
+    val multipart = ctype.startsWith("multipart/") &&
+      param(allHeaders.getOrElse("content-type", ""), "boundary").isDefined
+    val bodyText =
+      if (multipart) {
+        val boundary = param(allHeaders("content-type"), "boundary").get
+        val sb = new StringBuilder
+        partsOf(body, boundary).foreach { part =>
+          val (ph, pb) = splitHeadersBody(part)
+          val pHeaders = parseHeaders(ph)
+          if (contentType(pHeaders) == "text/plain") {
+            sb.append(decodePayload(pb, pHeaders))
+          }
+        }
+        PyCompat.pyStrip(sb.toString)
+      } else {
+        PyCompat.pyStrip(decodePayload(body, allHeaders))
+      }
+    val fullText = createFullText(headers, bodyText)
+    val layout = createLayout(headers, bodyText)
+    Parsed(headers, fullText, layout, multipart)
+  }
+
+  /** Split raw message into header lines and body at the first blank line.
+    * Line terminators: \r\n or \n (compat32 also accepts bare \r — excluded
+    * from corpus scope).
+    */
+  private def splitHeadersBody(raw: String): (Seq[String], String) = {
+    val lines = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val nl = raw.indexOf('\n', i)
+      val (lineEnd, next) = if (nl < 0) (n, n) else (nl, nl + 1)
+      val contentEnd =
+        if (lineEnd > i && raw.charAt(lineEnd - 1) == '\r') lineEnd - 1 else lineEnd
+      val line = raw.substring(i, contentEnd)
+      if (line.isEmpty) return (lines.toSeq, raw.substring(next))
+      lines += line
+      i = next
+    }
+    (lines.toSeq, "")
+  }
+
+  /** Parse header lines: name ':' value(lstripped). First occurrence wins. */
+  private def parseHeaders(lines: Seq[String]): Map[String, String] = {
+    val m = mutable.LinkedHashMap.empty[String, String]
+    lines.foreach { line =>
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).toLowerCase
+        var v = line.substring(colon + 1)
+        var k = 0
+        while (k < v.length && (v.charAt(k) == ' ' || v.charAt(k) == '\t')) k += 1
+        v = v.substring(k)
+        if (!m.contains(name)) m(name) = v
+      }
+    }
+    m.toMap
+  }
+
+  /** Lowercased maintype/subtype; default text/plain (`get_content_type`). */
+  private def contentType(headers: Map[String, String]): String =
+    headers.get("content-type") match {
+      case Some(v) =>
+        val main = v.split(";", 2)(0).trim.toLowerCase
+        if (main.contains("/")) main else "text/plain"
+      case None => "text/plain"
+    }
+
+  /** Extract a Content-Type parameter (e.g. boundary, charset); value may be
+    * quoted.
+    */
+  private def param(ctypeValue: String, name: String): Option[String] = {
+    ctypeValue.split(";").iterator.drop(1).map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith(name + "=") =>
+        val v = p.substring(name.length + 1).trim
+        if (v.length >= 2 && v.head == '"' && v.last == '"') v.substring(1, v.length - 1)
+        else v
+    }
+  }
+
+  /** Split a multipart body into part strings. A boundary line is a line
+    * starting with `--boundary`; the terminator `--boundary--` ends parsing.
+    * The line break preceding a boundary belongs to the delimiter.
+    */
+  private def partsOf(body: String, boundary: String): Seq[String] = {
+    val delim = "--" + boundary
+    val parts = mutable.ArrayBuffer.empty[String]
+    var partStart = -1 // -1 => in preamble
+    var i = 0
+    val n = body.length
+    while (i <= n) {
+      val nl = body.indexOf('\n', i)
+      val lineEnd = if (nl < 0) n else nl
+      val lineRaw = body.substring(i, lineEnd)
+      val line = if (lineRaw.endsWith("\r")) lineRaw.dropRight(1) else lineRaw
+      if (line.startsWith(delim)) {
+        if (partStart >= 0) {
+          // strip the single line terminator preceding this boundary line
+          var end = i
+          if (end > partStart && body.charAt(end - 1) == '\n') {
+            end -= 1
+            if (end > partStart && body.charAt(end - 1) == '\r') end -= 1
+          }
+          parts += body.substring(partStart, end)
+        }
+        if (line.startsWith(delim + "--")) return parts.toSeq
+        partStart = if (nl < 0) n else nl + 1
+      }
+      if (nl < 0) i = n + 1 else i = nl + 1
+    }
+    parts.toSeq
+  }
+
+  /** Apply content-transfer-encoding then charset-decode, errors ignored
+    * (`email_extractor.py:76-93`).
+    */
+  private def decodePayload(body: String, headers: Map[String, String]): String = {
+    val cte = headers.getOrElse("content-transfer-encoding", "").trim.toLowerCase
+    val charset = headers.get("content-type")
+      .flatMap(param(_, "charset")).map(_.toLowerCase).getOrElse("utf-8")
+    val bytes: Array[Byte] = cte match {
+      case "base64" =>
+        val cleaned = body.filterNot(c => PyCompat.isPySpace(c))
+        try java.util.Base64.getDecoder.decode(cleaned)
+        catch { case _: IllegalArgumentException => body.getBytes(StandardCharsets.UTF_8) }
+      case "quoted-printable" => decodeQp(body)
+      case _ => body.getBytes(StandardCharsets.UTF_8)
+    }
+    decodeIgnore(bytes, charset)
+  }
+
+  /** Python quopri.decodestring: =XX hex, soft line breaks `=\n`/`=\r\n`
+    * removed, malformed escapes kept literally.
+    */
+  private def decodeQp(s: String): Array[Byte] = {
+    val in = s.getBytes(StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '=' && i + 1 < in.length) {
+        val c1 = in(i + 1)
+        if (c1 == '\n') i += 2
+        else if (c1 == '\r' && i + 2 < in.length && in(i + 2) == '\n') i += 3
+        else if (i + 2 < in.length && isHex(c1) && isHex(in(i + 2))) {
+          out.write((hexVal(c1) << 4) | hexVal(in(i + 2)))
+          i += 3
+        } else { out.write(b); i += 1 }
+      } else { out.write(b); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private def isHex(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'F') || (b >= 'a' && b <= 'f')
+  private def hexVal(b: Byte): Int =
+    if (b <= '9') b - '0' else (b & 0xdf) - 'A' + 10
+
+  /** `bytes.decode(charset, errors='ignore')`. */
+  private def decodeIgnore(bytes: Array[Byte], charset: String): String = {
+    val cs = try Charset.forName(charset) catch { case _: Exception => StandardCharsets.UTF_8 }
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: CharacterCodingException => new String(bytes, StandardCharsets.UTF_8) }
+  }
+
+  /** `_create_full_text` (`email_extractor.py:96-109`): the four title-case
+    * header lines (Cc/Bcc excluded), a blank line, then the body if any.
+    */
+  private def createFullText(headers: Map[String, String], body: String): String = {
+    val lines = mutable.ArrayBuffer.empty[String]
+    Seq("from", "to", "subject", "date").foreach { f =>
+      headers.get(f).foreach(v => lines += s"${f.capitalize}: $v")
+    }
+    lines += ""
+    if (body.nonEmpty) lines += body
+    lines.mkString("\n")
+  }
+
+  /** `_create_layout_elements` (`email_extractor.py:111-148`): headers at
+    * y=0,25,50,… (h=20, gap 5), separator +10, body height
+    * max(100, len(body)//80*20); page 800x600.
+    */
+  private def createLayout(headers: Map[String, String], body: String): Seq[LayoutElement] = {
+    val elems = mutable.ArrayBuffer.empty[LayoutElement]
+    var y = 0
+    val lh = 20
+    val w = 800.0
+    Seq("from", "to", "subject", "date").foreach { f =>
+      headers.get(f).foreach { v =>
+        elems += LayoutElement(s"${f.capitalize}: $v", "header",
+          10, y, w - 10, y + lh, 1, w, 600.0)
+        y += lh + 5
+      }
+    }
+    y += 10
+    if (body.nonEmpty) {
+      val bh = math.max(100, (body.length / 80) * lh)
+      elems += LayoutElement(body, "text", 10, y, w - 10, y + bh, 1, w, 600.0)
+    }
+    elems.toSeq
+  }
+
+  /** `convert_to_sections` (`email_extractor.py:150-190`). */
+  def sections(layout: Seq[LayoutElement]): Seq[SectionOut] = {
+    val headers = layout.filter(_.elementType == "header")
+    val texts = layout.filter(_.elementType == "text")
+    val out = mutable.ArrayBuffer.empty[SectionOut]
+    if (headers.nonEmpty)
+      out += SectionOut("Email Headers", headers.map(_.content).mkString("\n"), 1, Some(1))
+    if (texts.nonEmpty)
+      out += SectionOut("Email Body", texts.map(_.content).mkString("\n"), 1, Some(1))
+    out.toSeq
+  }
+}
