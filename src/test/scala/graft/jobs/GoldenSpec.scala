@@ -1,0 +1,103 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.model.OutSpan
+import graft.parse.DocParser
+import java.nio.file.{Files, Paths}
+
+/** End-to-end golden equality (BASELINE.md headline metric #1): the Spark
+  * pipeline's span sequences must equal the reference parser's goldens
+  * `(kind, text, media_ref, order)` per doc, on the deterministic SF=0.001
+  * corpus. Goldens produced by tools/gen_goldens.py (reference modules
+  * executed over the identical corpus).
+  */
+class GoldenSpec extends AnyFunSuite {
+
+  private val corpusDir = "/root/repo/data/docs/sf0.001"
+  private val goldenJson = "/root/repo/src/test/resources/goldens/sf0.001.json"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("golden-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def available: Boolean =
+    Files.exists(Paths.get(corpusDir)) && Files.exists(Paths.get(goldenJson))
+
+  test("span-sequence exact match vs reference goldens (sf0.001, full corpus)") {
+    assume(available, "corpus/goldens not generated")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(goldenJson)))
+    val goldens = scala.collection.mutable.Map.empty[String, Seq[OutSpan]]
+    root.fields().forEachRemaining { e =>
+      val arr = e.getValue
+      val spans = (0 until arr.size()).map { i =>
+        val s = arr.get(i)
+        OutSpan(s.get(0).asText(), s.get(1).asText(), s.get(2).asText(), s.get(3).asInt())
+      }
+      goldens(e.getKey) = spans
+    }
+
+    val docs = ExtractJob.readDocs(spark, corpusDir)
+    val results = ExtractJob.extract(spark, docs).collect()
+
+    // full-outer-join semantics: missing and extra docs are failures too
+    assert(results.map(_.doc_id).toSet == goldens.keySet.toSet,
+      "doc_id sets differ between pipeline output and goldens")
+
+    var mismatches = 0
+    results.foreach { r =>
+      assert(r.error.isEmpty, s"${r.doc_id} errored: ${r.error}")
+      val g = goldens(r.doc_id)
+      if (r.spans != g) {
+        mismatches += 1
+        if (mismatches <= 3) {
+          val diff = r.spans.zipAll(g, null, null).zipWithIndex
+            .filter { case ((a, b), _) => a != b }.take(3)
+          info(s"MISMATCH ${r.doc_id}: ours=${r.spans.length} golden=${g.length}")
+          diff.foreach { case ((a, b), i) =>
+            info(s"  [$i] ours=  $a")
+            info(s"  [$i] golden=$b")
+          }
+        }
+      }
+    }
+    assert(mismatches == 0, s"$mismatches/${results.length} docs mismatched goldens")
+    // exact-match rate = 1.0 achieved on every doc
+  }
+
+  test("span hashes match harness digests (sf0.001)") {
+    assume(available, "corpus/goldens not generated")
+    val hashFile = Paths.get("/root/repo/data/goldens/sf0.001.hashes.jsonl")
+    assume(Files.exists(hashFile), "hash goldens not generated")
+    val mapper = new ObjectMapper()
+    val expected = scala.io.Source.fromFile(hashFile.toFile).getLines().map { line =>
+      val n = mapper.readTree(line)
+      n.get("doc_id").asText() -> n.get("hash").asText()
+    }.toMap
+    val docs = ExtractJob.readDocs(spark, corpusDir)
+    val got = ExtractJob.extract(spark, docs).collect()
+      .map(r => r.doc_id -> DocParser.spanHash(r.spans)).toMap
+    assert(got == expected)
+  }
+
+  test("partition metrics: lineage rows cover all docs") {
+    assume(available, "corpus not generated")
+    import org.apache.spark.sql.functions._
+    val docs = ExtractJob.readDocs(spark, corpusDir)
+    val results = ExtractJob.extract(spark, docs)
+    val m = ExtractJob.partitionMetrics(results.toDF())
+    val agg = m.agg(sum("docs_in"), sum("docs_ok"), sum("docs_err"),
+      sum("spans_out"), count(lit(1))).head()
+    assert(agg.getLong(0) == 600L)
+    assert(agg.getLong(1) == 600L && agg.getLong(2) == 0L)
+    assert(agg.getLong(3) > 0L)
+    assert(agg.getLong(4) >= 8L) // one row per parse partition
+  }
+}
