@@ -1,0 +1,256 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Repository/eval analytics (SURVEY §2.6-2.7: A2/A3/A6/A7, P3-P5, O1-O4,
+  * J1/J2-shaped joins) expressed as declarative DataFrame queries over the
+  * driver test tables — Catalyst provides pushdown, pruning, partial
+  * aggregation and join planning; every aggregate that feeds the DuckDB
+  * oracle goes through exact DECIMAL sums cast to double (deterministic
+  * across engines and partition orders, unlike raw double sums).
+  *
+  * Scale notes: group-bys are partial+final hash aggregates; the dimension
+  * sides of joins (customer/nation/region) are broadcast so the fact table
+  * never shuffles for them; every query ends in a deterministic ORDER BY so
+  * results are stable for the hash-compare gate.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: decimal accumulate, double render. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** A2-style pricing summary (hash agg, partial+final). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($c("l_returnflag"), $c("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum($c("l_quantity")).as("sum_qty"),
+        dsum($c("l_extendedprice")).as("sum_base_price"),
+        sum(($c("l_extendedprice").cast("decimal(18,2)")) *
+          (lit(1).cast("decimal(18,2)") - $c("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum($c("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** J1-style join + O1 sort + O3 limit: top customers by order revenue.
+    * Customer is the broadcast side (bounded dimension).
+    */
+  def q2TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy($c("c_custkey"), $c("c_name"))
+      .agg(dsum($c("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), $c("c_custkey"))
+      .limit(10)
+  }
+
+  def q2Sql: String =
+    """SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey LIMIT 10"""
+
+  /** Multi-way broadcast join through the dimension chain. */
+  def q3RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = broadcast(t(spark, dir, "customer"))
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region"))
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy($c("r_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum($c("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  def q3Sql: String =
+    """SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  /** P3/P4 filter + projection (pushed to the parquet scan) + O1/O3. */
+  def q4FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter($c("l_returnflag") === "R" &&
+        $c("l_quantity") >= 10 && $c("l_quantity") <= 20 &&
+        $c("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .select($c("l_orderkey"), $c("l_linenumber"), $c("l_quantity"),
+        $c("l_extendedprice").cast("decimal(18,2)").cast("double").as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  def q4Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+       FROM lineitem
+       WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity <= 20
+         AND l_shipdate >= TIMESTAMP '1995-01-01'
+       ORDER BY l_orderkey, l_linenumber LIMIT 100"""
+
+  /** A8 distinct/dedupe. */
+  def q5Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($c("l_returnflag"))
+      .agg(countDistinct($c("l_orderkey")).as("n_orders"),
+        countDistinct($c("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  def q5Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** §2.8 ranking window (deterministic tiebreak on the key). */
+  def q6WindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($c("o_custkey"))
+      .orderBy(desc("o_totalprice"), $c("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($c("rn") === 1)
+      .select($c("o_custkey"), $c("o_orderkey"),
+        $c("o_totalprice").cast("decimal(18,2)").cast("double").as("top_price"))
+      .orderBy("o_custkey")
+  }
+
+  def q6Sql: String =
+    """SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn = 1 ORDER BY o_custkey"""
+
+  /** A6/A7 eval-shape: per-group ratio metrics from integer counts
+    * (exact cross-engine: int/int via double cast).
+    */
+  def q7EvalRatios(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($c("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($c("value") > 50.0, 1L).otherwise(0L)).as("n_high"),
+        (sum(when($c("value") > 50.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("high_ratio"))
+      .orderBy("event_type")
+
+  def q7Sql: String =
+    """SELECT event_type, count(*) AS n,
+       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_high,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS high_ratio
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Time bucketing over the events stream table (A4-shape). */
+  def q8EventsDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date($c("ts")).as("day"), $c("event_type"))
+      .agg(count(lit(1)).as("n"), dsum($c("value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  def q8Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+
+  /** Date-part extraction + aggregation. */
+  def q9OrdersByMonth(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year($c("o_orderdate")).as("y"), month($c("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum($c("o_totalprice")).as("revenue"))
+      .orderBy("y", "m")
+
+  def q9Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1, 2 ORDER BY y, m"""
+
+  /** Anti join (the resume protocol's left_anti shape, SURVEY §4.2). */
+  def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem").select($c("l_orderkey")).distinct()
+    orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orders_without_items"))
+  }
+
+  def q10Sql: String =
+    """SELECT count(*) AS n_orders_without_items FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+
+  /** Semi join (EXISTS). */
+  def q11SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").filter($c("o_totalprice") > 400000.0)
+      .select($c("o_custkey")).distinct()
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
+      .groupBy($c("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  def q11Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** P3/O1 library search: filter + sort by recency-analog + limit
+    * (`storage.py:113-145`).
+    */
+  def p3LibrarySearch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter($c("lang") === "en" && $c("n_chars") >= 200)
+      .select($c("doc_id"), $c("lang"), $c("source"), $c("n_chars"))
+      .orderBy(desc("n_chars"), $c("doc_id"))
+      .limit(50)
+
+  def p3Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE lang = 'en' AND n_chars >= 200
+       ORDER BY n_chars DESC, doc_id LIMIT 50"""
+
+  /** A2 repository statistics analog (`storage.py:147-175`): counts by
+    * group + size totals/averages.
+    */
+  def a2RepoStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy($c("lang"))
+      .agg(
+        count(lit(1)).as("total_documents"),
+        sum($c("n_chars")).as("total_size_chars"),
+        (sum($c("n_chars")).cast("double") / count(lit(1))).as("avg_size_chars"))
+      .orderBy("lang")
+
+  def a2Sql: String =
+    """SELECT lang, count(*) AS total_documents,
+       CAST(sum(n_chars) AS BIGINT) AS total_size_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_size_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  private def $c(n: String) = col(n)
+}

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash groupBy), n-gram Jaccard pairs (shingle explode +
+  * self-join), MinHash signatures + LSH banding, and SimHash — all
+  * declarative (explode/join/groupBy ride Catalyst's hash aggregates and
+  * shuffle planning; no UDFs, no driver-side loops).
+  *
+  * Portability note for the DuckDB oracle: token hashes are derived as
+  * bigint from the first 15 hex chars of md5 (`conv(...,16,10)` in Spark,
+  * `('0x'||…)::BIGINT` in DuckDB) and mixed with XOR — multiplication-free,
+  * so no engine-specific overflow semantics can diverge.
+  *
+  * Scale: the shingle self-join shuffles on the shingle key — at 100 TB the
+  * LSH-banded variant (d4) is the path: candidates meet only inside a band
+  * bucket, turning the quadratic pair space into per-bucket joins.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: content-hash groups, first doc_id as keeper (A8-shape). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy("content_hash")
+
+  def exactDedupSql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper
+       FROM documents GROUP BY 1 ORDER BY content_hash"""
+
+  /** Distinct word-3-gram shingles per doc (1-based element_at in both
+    * engines).
+    */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(0))),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("shingles"))
+
+  /** n-gram Jaccard near-dup pairs: explode shingles, self-join on shingle,
+    * count intersection, jaccard = |∩| / (|A|+|B|-|∩|).
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val pairs = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b, inter,
+              CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+       FROM pairs
+       JOIN cnt ca ON doc_a = ca.doc_id
+       JOIN cnt cb ON doc_b = cb.doc_id
+       WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.05
+       ORDER BY doc_a, doc_b"""
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5 as bigint. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def tokHashSql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** XOR-mix constants for the MinHash family (fixed, engine-neutral). */
+  val MinHashSeeds: Seq[Long] = Seq(
+    0x243f6a8885a308dL, 0x13198a2e0370734L, 0xa4093822299f31dL,
+    0x082efa98ec4e6c8L, 0x452821e638d0137L, 0xbe5466cf34e90c6L,
+    0xc0ac29b7c97c50dL, 0x3f84d5b5b547091L)
+
+  /** MinHash signatures: min over distinct shingles of (H(shingle) XOR
+    * seed_k), k = 0..7. Multiplication-free hash family — identical
+    * overflow-free arithmetic in Spark and DuckDB.
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .withColumn("h", tokHash(col("shingle")))
+    val aggs = MinHashSeeds.zipWithIndex.map { case (seed, k) =>
+      min(col("h").bitwiseXOR(lit(seed))).as(s"mh$k")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  def minhashSql: String = {
+    val mins = MinHashSeeds.zipWithIndex.map { case (seed, k) =>
+      s"min(xor(h, ${seed}::BIGINT)) AS mh$k"
+    }.mkString(",\n        ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh)
+       SELECT doc_id,
+        $mins
+       FROM hs GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** LSH banding over the MinHash signature (4 bands × 2 rows): docs
+    * sharing a band bucket are near-dup candidates. The scale path: the
+    * candidate join happens per-bucket, never across the full corpus.
+    */
+  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhash(spark, dir)
+    val bands = (0 until 4).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
+    }.reduce(_ unionAll _)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def lshPairsSql: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '_' || mh${2 * b + 1} AS key FROM mh"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh),
+       mh AS (SELECT doc_id,
+        ${MinHashSeeds.zipWithIndex.map { case (s, k) => s"min(xor(h, ${s}::BIGINT)) AS mh$k" }.mkString(", ")}
+        FROM hs GROUP BY doc_id),
+       bands AS ($bandSelects)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash: 60-bit signature; bit i set when the sum over tokens (with
+    * multiplicity) of ±1 on bit i of H(token) is positive.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", tokHash(col("tok")))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr("CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END"))
+        .cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def simhashSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       hs AS (SELECT doc_id, ${tokHashSql("tok")} AS h FROM tk),
+       bits AS (SELECT doc_id, b.bit,
+                sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+                GROUP BY doc_id, b.bit)
+       SELECT doc_id,
+              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id ORDER BY doc_id"""
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted in batches inside a typed
+  * `mapPartitions` with POOLED decoder state (the Spark-side shape a real
+  * image/audio pipeline needs; the actual codec is a clearly-marked
+  * deterministic STUB — the decode libraries are not in this container).
+  */
+object MultimodalOps {
+
+  /** Oracle-checked metadata pass: treat text as the binary payload;
+    * byte length + sha256 content address (pure codegen'd columns).
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("int").as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  def mediaFeaturesSql: String =
+    """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS byte_len,
+       sha256(text) AS sha256
+       FROM documents ORDER BY doc_id"""
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMedia(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      features: Seq[Float])
+
+  /** STUB decoder: a real implementation would wrap a pooled native codec
+    * (libjpeg/ffmpeg) here; this deterministic fake derives "dimensions"
+    * and a 8-dim "feature vector" from the payload bytes so the schema,
+    * batching, and partition shape are real and testable.
+    */
+  final class StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val n = payload.length
+      val width = 16 + (if (n > 0) (payload(0) & 0x7f) else 0)
+      val height = 16 + (if (n > 1) (payload(1) & 0x7f) else 0)
+      val feats = new Array[Float](8)
+      var i = 0
+      while (i < n) {
+        feats(i % 8) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      (width, height, feats)
+    }
+  }
+
+  /** Typed decode pass: binary column in, typed features out; one decoder
+    * instance per partition (pooled), never per row.
+    */
+  def decodeMedia(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      val decoder = new StubDecoder // pooled per-partition state
+      iter.map { m =>
+        val (w, h, f) = decoder.decode(m.payload)
+        DecodedMedia(m.doc_id, m.payload.length, w, h, f.toSeq)
+      }
+    }
+  }
+
+  /** Rows-only driver query: documents → binary payloads → stubbed decode →
+    * per-batch feature stats.
+    */
+  def mediaDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    decodeMedia(spark, media)
+      .groupBy(col("width") % 8)
+      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"))
+      .orderBy(col("width") % 8)
+  }
+}

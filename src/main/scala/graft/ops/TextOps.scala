@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID (stopword heuristic), quality scoring,
+  * token counting, document fingerprinting. All pure `functions._` columns
+  * (whole-stage codegen, no UDFs); every metric derives from integer string
+  * ops so the DuckDB oracle matches bit-exactly.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Non-overlapping left-to-right occurrence count of " word " in padded
+    * text via split — identical scan semantics in Spark and DuckDB.
+    */
+  private def occ(padded: Column, word: String): Column =
+    (size(split(padded, java.util.regex.Pattern.quote(s" $word "), -1)) - 1).cast("int")
+
+  private val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  /** Language-ID: stopword-count heuristic; argmax with fixed priority
+    * order, 'und' (undetermined) when all scores are zero.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores = StopwordSets.map { case (lang, ws) =>
+      lang -> ws.map(w => occ(padded, w)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // earlier langs win ties (en > es > de > fr): en's WHEN ends outermost
+    val pickOrdered = scores.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        scores.head._2.as("score_en"),
+        scores(1)._2.as("score_es"),
+        scores(2)._2.as("score_de"),
+        scores(3)._2.as("score_fr"),
+        pickOrdered.as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  def langIdSql: String = {
+    def occSql(w: String) =
+      s"len(string_split(' ' || text || ' ', ' $w ')) - 1"
+    val exprs = StopwordSets.map { case (lang, ws) =>
+      lang -> ws.map(occSql).mkString("(", " + ", ")")
+    }
+    val bestExpr = "greatest(" + exprs.map(_._2).mkString(", ") + ")"
+    val caseExpr = exprs.map { case (lang, e) =>
+      s"WHEN $e = best AND best > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id,
+        CAST(${exprs(0)._2} AS INT) AS score_en,
+        CAST(${exprs(1)._2} AS INT) AS score_es,
+        CAST(${exprs(2)._2} AS INT) AS score_de,
+        CAST(${exprs(3)._2} AS INT) AS score_fr,
+        $caseExpr AS lang_pred
+        FROM (SELECT *, $bestExpr AS best FROM documents)
+        ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: length / token / punctuation / uppercase features +
+    * a composite keep/drop flag — the filters a pretraining pipeline runs.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt)
+    val nTokens = size(split(txt, " ", -1))
+    val nAlpha = length(regexp_replace(txt, "[^a-zA-Z]", ""))
+    val nDigit = length(regexp_replace(txt, "[^0-9]", ""))
+    val meanWordLen = (length(regexp_replace(txt, " ", "")).cast("double") / nTokens)
+    docs(spark, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.cast("int").as("n_tokens"),
+      nAlpha.as("n_alpha"),
+      nDigit.as("n_digit"),
+      meanWordLen.as("mean_word_len"),
+      (nChars >= 100 && nTokens >= 20).cast("boolean").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def qualitySql: String =
+    """SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_word_len,
+       (length(text) >= 100 AND len(string_split(text, ' ')) >= 20) AS keep
+       FROM documents ORDER BY doc_id"""
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(txt, "\\s+", -1)).cast("int").as("n_ws_tokens"),
+      size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("int").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def tokenCountSql: String =
+    """SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text
+    * (the canonical near-exact-dedup key).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  def fingerprintSql: String =
+    """SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+       FROM documents ORDER BY doc_id"""
+}

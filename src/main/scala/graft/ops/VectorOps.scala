@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - v1: brute-force cosine top-k against a query vector — the exactness
+  *    baseline. `zip_with`+`aggregate` columns (codegen'd), sequential
+  *    left-to-right double summation in both engines so the DuckDB oracle
+  *    matches bit-exactly.
+  *  - v2: LSH-bucketed variant (random-hyperplane sign bits) — the scale
+  *    path: at 100 TB the crossJoin is replaced by a bucket-equi-join, and
+  *    the query side is broadcast.
+  *  - v3: per-cluster centroids (IVF coarse quantizer shape) + distance of
+  *    each vector to its own centroid.
+  */
+object VectorOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Sequential double dot product of two float array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-20 vs the vec_id=0 query vector. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_embedding")) /
+          (norm(col("embedding")) * norm(col("q_embedding")))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(20)
+  }
+
+  def annTopKSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT vec_id, label,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                    p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qe::DOUBLE[], x -> x*x)))) AS cosine
+         FROM embeddings e CROSS JOIN q)
+       SELECT vec_id, label, cosine FROM scored
+       ORDER BY cosine DESC, vec_id LIMIT 20"""
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 on (plane,dim).
+    * Values in [-1,1).
+    */
+  private[ops] def hyperplane(plane: Int, dim: Int): Array[Double] = {
+    (0 until dim).map { d =>
+      var z = plane.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      ((z >>> 11) * 1.1102230246251565e-16) * 2.0 - 1.0
+    }.toArray
+  }
+
+  /** LSH bucketing: 8 hyperplane sign bits → bucket id; returns bucket
+    * occupancy (the index structure an ANN query would probe). Rows-only
+    * driver check (hyperplane literals are engine-side).
+    */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until 8).map(p => hyperplane(p, 64))
+    val bucketBits = planes.zipWithIndex.map { case (pl, i) =>
+      val plCol = array(pl.map(lit): _*)
+      when(dot(col("embedding"), plCol) > 0.0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    emb(spark, dir)
+      .select(col("vec_id"), bucketBits.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+  }
+
+  /** Per-label centroids + mean intra-cluster distance (IVF coarse shape).
+    * Centroid sums go through exact DECIMAL so the per-dimension means are
+    * deterministic under any partitioning.
+    */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val byDim = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val centroids = byDim.groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("c"))
+    val cvec = centroids.groupBy("label")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("cmap"))
+    val withC = e.join(broadcast(cvec), "label")
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), lit(63)), i => element_at(col("cmap"), i)),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, x) => acc + x)).as("dist"))
+    withC.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("dist").cast("decimal(38,15)")).cast("double") / count(lit(1)))
+          .as("mean_dist"))
+      .orderBy("label")
+  }
+}
