@@ -1,24 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.jobs.ExtractJob
+
+/** Per-round benchmark (driver-run → BENCH_r{N}.json; see BASELINE.md).
+  *
+  * Times every SparkEntry query on SPARK_GRAFT_SF_DIR, plus the HEADLINE
+  * metric from BASELINE.json: end-to-end extraction throughput over the
+  * deterministic interleaved corpus (median of 3 warm runs). Scaling
+  * efficiency evidence (N vs 4N cores) is produced by graft.ScalingBench
+  * and recorded in BASELINE.md — one JVM per parallelism level.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Headline: extraction docs/sec over the deterministic interleaved
+    // corpus (generated in-session if not on disk — no external data).
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "/root/repo/data/docs/sf0.1")
+    val docs =
+      if (new java.io.File(corpusDir).exists()) ExtractJob.readDocs(spark, corpusDir)
+      else spark.range(0, 60000, 1, 64).map(i => graft.corpus.CorpusGen.gen(i))
+    docs.cache()
+    val nDocs = docs.count()
+    def parseOnce(): Unit = {
+      ExtractJob.extract(spark, docs).agg(sum(size(col("spans")))).head()
+    }
+    parseOnce() // warmup
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); parseOnce(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val extractSec = times(1)
+    val docsPerSec = nDocs / extractSec
+
+    val allTimings = results ++ Map("extract_corpus_60k" -> extractSec)
+    val qs = allTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = allTimings.values.sum
+    println(s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

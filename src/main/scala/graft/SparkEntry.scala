@@ -46,6 +46,7 @@ object SparkEntry {
     "d3_minhash" -> (DedupOps.minhash _),
     "d4_lsh_pairs" -> (DedupOps.lshPairs _),
     "d5_simhash" -> (DedupOps.simhash _),
+    "d6_embed_neardup" -> (DedupOps.embedNearDup _),
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "d3_minhash" -> DedupOps.minhashSql,
     "d4_lsh_pairs" -> DedupOps.lshPairsSql,
     "d5_simhash" -> DedupOps.simhashSql,
+    "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "t2_quality" -> TextOps.qualitySql,

@@ -15,9 +15,13 @@ import graft.parse.{DocParser, SignatureTable}
   *    partition-granular resume is sound;
   *  - the signature/rule table is `broadcast` to executors (it is bounded by
   *    layout diversity, never by corpus size);
-  *  - skew from giant multi-page PDFs is defused by round-robin
-  *    repartitioning into `partitionsPerCore × cores` splits — a giant doc
-  *    caps one task at one doc, it never drags a whole hash bucket with it;
+  *  - skew from giant multi-page PDFs: the default [[Layout.ScanSplits]]
+  *    parses on scan splits (`spark.sql.files.maxPartitionBytes` bounds
+  *    task size) so the raw corpus is never shuffled; uniform-hash
+  *    [[Layout.ByBucket]] (the writing jobs) and round-robin
+  *    [[Layout.RoundRobin]] (adversarially-sorted inputs) are the explicit
+  *    salted-repartition escape hatches — a giant doc is one row either
+  *    way, so a shuffle cannot split it finer;
   *  - per-doc rows carry (partition_id, bytes_in, parse_us); partition
   *    lineage rows are a partial-aggregated groupBy over them (no second
   *    pass over the text).
@@ -45,14 +49,61 @@ object ExtractJob {
       bytes_in: Long,
       parse_us: Long)
 
-  val NumBuckets = 64 // resume granularity (manifest protocol, SURVEY §4.2)
+  /** Resume granularity (manifest protocol, SURVEY §4.2). 64 suits the
+    * local corpus; at 10^12-doc scale this is the one knob to raise (e.g.
+    * 4096) so buckets stay executor-memory-sized — the protocol is
+    * unchanged.
+    */
+  val NumBuckets = 64
 
-  def bucketOf(docId: String): Int =
-    java.lang.Math.floorMod(docId.hashCode, NumBuckets)
+  /** CRC32-based so the SAME bucket is computable as a Catalyst column
+    * ([[bucketCol]]) and in plain Scala — letting the sink repartition by
+    * bucket (one file per bucket instead of tasks×buckets small files)
+    * while the manifest/rollback side recomputes it off the wire.
+    */
+  def bucketOf(docId: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % NumBuckets).toInt
+  }
+
+  /** Column twin of [[bucketOf]] — `crc32` is codegen'd, stays in
+    * WholeStageCodegen.
+    */
+  def bucketCol: org.apache.spark.sql.Column =
+    pmod(crc32(encode(col("doc_id"), "UTF-8")), lit(NumBuckets.toLong)).cast("int")
 
   def readDocs(spark: SparkSession, inPath: String): Dataset[InputDoc] = {
     import spark.implicits._
     spark.read.parquet(inPath).as[InputDoc]
+  }
+
+  /** How the docs are laid out across parse tasks. The choice is a
+    * shuffle-cost / balance / sink-alignment tradeoff that matters at
+    * 100 TB: a pre-parse shuffle moves the RAW bytes of the whole corpus.
+    */
+  sealed trait Layout
+  object Layout {
+    /** No shuffle: parse on the scan's own input splits. The default —
+      * raw bytes never move, and split granularity
+      * (`spark.sql.files.maxPartitionBytes`) already bounds task size.
+      * A single giant doc is one row and can't be split any finer by a
+      * shuffle either, so this loses nothing on the heavy tail.
+      */
+    case object ScanSplits extends Layout
+
+    /** Round-robin shuffle into `cores × perCore` splits: finest doc-count
+      * balance. Worth its full-corpus shuffle only when the INPUT layout is
+      * adversarial (e.g. docs sorted by size so one split holds all the
+      * giants) — the "salted repartitioning" degenerate-input defense.
+      */
+    final case class RoundRobin(perCore: Int = 4) extends Layout
+
+    /** Hash-shuffle on [[bucketCol]]: parse tasks aligned to resume
+      * buckets, so the bucketed sink writes ~one file per bucket instead
+      * of tasks×buckets small files. Used by the writing jobs.
+      */
+    case object ByBucket extends Layout
   }
 
   /** Parse a docs Dataset into the extracted table. */
@@ -60,13 +111,18 @@ object ExtractJob {
       spark: SparkSession,
       docs: Dataset[InputDoc],
       table: Seq[CanonicalSignature] = SignatureTable.Default,
-      partitionsPerCore: Int = 4): Dataset[ExtractedRow] = {
+      layout: Layout = Layout.ScanSplits): Dataset[ExtractedRow] = {
     import spark.implicits._
     val cores = spark.sparkContext.defaultParallelism
-    val nPart = math.max(1, cores * partitionsPerCore)
     val bc = spark.sparkContext.broadcast(table)
-    docs
-      .repartition(nPart) // round-robin: even doc counts, no skew hot bucket
+    val parts = layout match {
+      case Layout.ScanSplits => docs
+      case Layout.RoundRobin(perCore) =>
+        docs.repartition(math.max(1, cores * perCore))
+      case Layout.ByBucket =>
+        docs.toDF().repartition(NumBuckets, bucketCol).as[InputDoc]
+    }
+    parts
       .mapPartitions { iter =>
         val pool = DocParser.pooled(bc.value) // pooled per-partition state
         val pid = TaskContext.getPartitionId()
@@ -104,7 +160,7 @@ object ExtractJob {
     */
   def run(spark: SparkSession, inPath: String, outPath: String): (Long, Long) = {
     val docs = readDocs(spark, inPath)
-    val results = extract(spark, docs)
+    val results = extract(spark, docs, layout = Layout.ByBucket)
     results.write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(s"$outPath/results")

@@ -87,7 +87,7 @@ object ResumableExtract {
     }
     if (docs.isEmpty) return 0L
 
-    val results = ExtractJob.extract(spark, docs, table)
+    val results = ExtractJob.extract(spark, docs, table, ExtractJob.Layout.ByBucket)
 
     // Dynamic partition overwrite: replaces exactly the bucket dirs present
     // in this run's output (including partial leftovers from a kill), never

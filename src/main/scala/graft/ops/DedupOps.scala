@@ -169,6 +169,39 @@ object DedupOps {
        ORDER BY doc_a, doc_b"""
   }
 
+  /** Embedding-cosine near-dup: top-50 most-similar vector pairs, exact.
+    * Brute-force pair scoring is the exactness baseline (the synthetic
+    * embeddings have no pairs above any useful threshold, so the operator
+    * is exposed threshold-free); the 100 TB path replaces the pair join
+    * with VectorOps.lshBuckets candidate generation — candidates meet only
+    * inside a hyperplane-sign bucket. Dot products are sequential
+    * left-to-right double sums in both engines (bit-exact oracle).
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("ia"), col("ib"))
+      .limit(50)
+  }
+
+  def embedNearDupSql: String =
+    """SELECT a.vec_id AS ia, b.vec_id AS ib,
+       list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                p -> p[1] * p[2]))
+       / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+          * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       ORDER BY cosine DESC, ia, ib LIMIT 50"""
+
   /** SimHash: 60-bit signature; bit i set when the sum over tokens (with
     * multiplicity) of ±1 on bit i of H(token) is positive.
     */

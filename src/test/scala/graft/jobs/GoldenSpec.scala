@@ -72,19 +72,39 @@ class GoldenSpec extends AnyFunSuite {
     // exact-match rate = 1.0 achieved on every doc
   }
 
-  test("span hashes match harness digests (sf0.001)") {
-    assume(available, "corpus/goldens not generated")
-    val hashFile = Paths.get("/root/repo/data/goldens/sf0.001.hashes.jsonl")
-    assume(Files.exists(hashFile), "hash goldens not generated")
+  private def checkHashes(sf: String): Unit = {
+    val dir = s"/root/repo/data/docs/sf$sf"
+    val hashFile = Paths.get(s"/root/repo/data/goldens/sf$sf.hashes.jsonl")
+    assume(Files.exists(Paths.get(dir)) && Files.exists(hashFile),
+      s"sf$sf corpus/hash goldens not generated")
     val mapper = new ObjectMapper()
     val expected = scala.io.Source.fromFile(hashFile.toFile).getLines().map { line =>
       val n = mapper.readTree(line)
       n.get("doc_id").asText() -> n.get("hash").asText()
     }.toMap
-    val docs = ExtractJob.readDocs(spark, corpusDir)
-    val got = ExtractJob.extract(spark, docs).collect()
-      .map(r => r.doc_id -> DocParser.spanHash(r.spans)).toMap
-    assert(got == expected)
+    val docs = ExtractJob.readDocs(spark, dir)
+    import spark.implicits._
+    val got = ExtractJob.extract(spark, docs)
+      .map(r => (r.doc_id, DocParser.spanHash(r.spans)))
+      .collect().toMap
+    assert(got.size == expected.size, s"doc counts differ: ${got.size} vs ${expected.size}")
+    val bad = expected.iterator.count { case (d, h) => got.get(d) != Some(h) }
+    assert(bad == 0, s"$bad/${expected.size} docs hash-mismatch goldens at sf$sf")
+  }
+
+  test("span hashes match harness digests (sf0.001)") {
+    assume(available, "corpus/goldens not generated")
+    checkHashes("0.001")
+  }
+
+  test("span hashes match harness digests (sf0.01, 6k docs)") {
+    checkHashes("0.01")
+  }
+
+  test("span hashes match harness digests (sf0.1, 60k docs — the BASELINE.md headline)") {
+    // Heavier; run always unless explicitly disabled (driver gate is sbt test).
+    assume(sys.env.getOrElse("GRAFT_SKIP_SF01_GOLDEN", "") != "1", "skipped by env")
+    checkHashes("0.1")
   }
 
   test("partition metrics: lineage rows cover all docs") {
