@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // giant multi-page docs = multi-MB strings = G1 humongous allocations;
+  // region size keeps them out of the humongous path at high thread counts
+  s"-XX:G1HeapRegionSize=${sys.env.getOrElse("SPARK_G1_REGION", "32m")}",
+) ++ sys.env.get("SPARK_GC").map(gc => s"-XX:+$gc").toSeq

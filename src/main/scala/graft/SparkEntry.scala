@@ -26,6 +26,9 @@ object SparkEntry {
     "x1_chunk_sections" -> (ExtractQueries.chunkSectionCounts _),
     "x2_extract_full" -> (ExtractQueries.extractFull _),
     "x3_extract_spans" -> (ExtractQueries.extractSpans _),
+    "x4_rule_fields" -> (ExtractQueries.ruleFields _),
+    "a3_signature_stats" -> (ExtractQueries.signatureStats _),
+    "a4_usage_snapshot" -> (ExtractQueries.usageSnapshot _),
     // relational / repository analytics
     "q1_pricing_summary" -> (RelationalOps.q1PricingSummary _),
     "q2_top_customers" -> (RelationalOps.q2TopCustomers _),
@@ -62,6 +65,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "x1_chunk_sections" -> ExtractQueries.chunkSectionCountsSql,
+    "x4_rule_fields" -> ExtractQueries.ruleFieldsSql,
     "q1_pricing_summary" -> RelationalOps.q1Sql,
     "q2_top_customers" -> RelationalOps.q2Sql,
     "q3_region_revenue" -> RelationalOps.q3Sql,

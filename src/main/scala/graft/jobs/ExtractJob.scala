@@ -52,9 +52,11 @@ object ExtractJob {
   /** Resume granularity (manifest protocol, SURVEY §4.2). 64 suits the
     * local corpus; at 10^12-doc scale this is the one knob to raise (e.g.
     * 4096) so buckets stay executor-memory-sized — the protocol is
-    * unchanged.
+    * unchanged. Must be held constant across restarts of the same output
+    * dir (it keys the manifest), like any partitioning config.
     */
-  val NumBuckets = 64
+  val NumBuckets: Int =
+    sys.env.get("GRAFT_NUM_BUCKETS").map(_.toInt).getOrElse(64)
 
   /** CRC32-based so the SAME bucket is computable as a Catalyst column
     * ([[bucketCol]]) and in plain Scala — letting the sink repartition by
