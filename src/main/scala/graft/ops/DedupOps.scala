@@ -181,14 +181,16 @@ object DedupOps {
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x)
+    // norms once per VECTOR (n of them), not once per PAIR (n²/2): the
+    // pair join then does a single dot product per candidate
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
-        (dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
-          .as("cosine"))
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(desc("cosine"), col("ia"), col("ib"))
       .limit(50)
   }
