@@ -29,6 +29,8 @@ object SparkEntry {
     "x4_rule_fields" -> (ExtractQueries.ruleFields _),
     "a3_signature_stats" -> (ExtractQueries.signatureStats _),
     "a4_usage_snapshot" -> (ExtractQueries.usageSnapshot _),
+    "a6_field_accuracy" -> (ExtractQueries.fieldAccuracy _),
+    "a7_eval_prf" -> (ExtractQueries.evalPrf _),
     // relational / repository analytics
     "q1_pricing_summary" -> (RelationalOps.q1PricingSummary _),
     "q2_top_customers" -> (RelationalOps.q2TopCustomers _),
@@ -66,6 +68,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x1_chunk_sections" -> ExtractQueries.chunkSectionCountsSql,
     "x4_rule_fields" -> ExtractQueries.ruleFieldsSql,
+    "a6_field_accuracy" -> ExtractQueries.fieldAccuracySql,
+    "a7_eval_prf" -> ExtractQueries.evalPrfSql,
     "q1_pricing_summary" -> RelationalOps.q1Sql,
     "q2_top_customers" -> RelationalOps.q2Sql,
     "q3_region_revenue" -> RelationalOps.q3Sql,

@@ -95,6 +95,128 @@ object ExtractQueries {
         size(col("spans")).as("n_spans"))
       .orderBy("doc_id")
 
+  /** A6 per-field extraction accuracy vs ground truth
+    * (`evaluate_invoices.py:154-206`), sorted by accuracy desc (O2).
+    */
+  def fieldAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val rf = ruleFields(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"),
+          col("n_chars").cast("string").as("nc")), "doc_id")
+    rf.selectExpr("doc_id",
+      """stack(5,
+         'invoice_number', invoice_number, concat('INV-', doc_id),
+         'total_amount',   total_amount,   concat(nc, '.5'),
+         'date_value',     date_value,     '12/15/2024',
+         'email',          email,          concat('user', doc_id, '@example.com'),
+         'phone_number',   phone_number,   '(555) 123-4567'
+       ) AS (field, got, want)""")
+      .groupBy(col("field"))
+      .agg(count(lit(1)).as("present_in_gt"),
+        sum(when(col("got") === col("want"), 1L).otherwise(0L))
+          .as("correctly_extracted"),
+        (sum(when(col("got") === col("want"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("accuracy"))
+      .orderBy(desc("accuracy"), col("field"))
+  }
+
+  def fieldAccuracySql: String =
+    s"""WITH rf AS ($ruleFieldsInner),
+       ev AS (
+         SELECT field, got, want FROM rf
+         JOIN documents d ON rf.doc_id = CAST(d.doc_id AS VARCHAR)
+         CROSS JOIN LATERAL (VALUES
+           ('invoice_number', rf.invoice_number, 'INV-' || rf.doc_id),
+           ('total_amount',   rf.total_amount,   CAST(d.n_chars AS VARCHAR) || '.5'),
+           ('date_value',     rf.date_value,     '12/15/2024'),
+           ('email',          rf.email,          'user' || rf.doc_id || '@example.com'),
+           ('phone_number',   rf.phone_number,   '(555) 123-4567')
+         ) AS v(field, got, want))
+       SELECT field, count(*) AS present_in_gt,
+         sum(CASE WHEN got = want THEN 1 ELSE 0 END) AS correctly_extracted,
+         CAST(sum(CASE WHEN got = want THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+       FROM ev GROUP BY field ORDER BY accuracy DESC, field"""
+
+  /** A7 aggregate eval (`evaluate_invoices.py:105-121,189-196`): per-doc
+    * precision/recall/F1 against a 6-field ground truth (the 5 extractable
+    * fields + `po_number`, which no global rule covers — recall < 1 by
+    * construction); aggregates are MEANS of per-doc metrics, matching the
+    * reference's macro averaging.
+    */
+  def evalPrf(spark: SparkSession, dir: String): DataFrame = {
+    val rf = ruleFields(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"),
+          col("n_chars").cast("string").as("nc")), "doc_id")
+    val perDoc = rf.select(col("doc_id"),
+      (when(col("invoice_number") =!= "", 1).otherwise(0) +
+        when(col("total_amount") =!= "", 1).otherwise(0) +
+        when(col("date_value") =!= "", 1).otherwise(0) +
+        when(col("email") =!= "", 1).otherwise(0) +
+        when(col("phone_number") =!= "", 1).otherwise(0)).as("n_parsed"),
+      lit(6).as("n_gt"),
+      (when(col("invoice_number") === concat(lit("INV-"), col("doc_id")), 1).otherwise(0) +
+        when(col("total_amount") === concat(col("nc"), lit(".5")), 1).otherwise(0) +
+        when(col("date_value") === "12/15/2024", 1).otherwise(0) +
+        when(col("email") === concat(lit("user"), col("doc_id"), lit("@example.com")), 1).otherwise(0) +
+        when(col("phone_number") === "(555) 123-4567", 1).otherwise(0)).as("n_exact"))
+      .select(col("doc_id"), col("n_parsed"), col("n_gt"), col("n_exact"),
+        (col("n_exact").cast("double") / col("n_parsed")).as("p"),
+        (col("n_exact").cast("double") / col("n_gt")).as("r"))
+      .withColumn("f1",
+        when(col("p") + col("r") > 0.0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r"))).otherwise(0.0))
+    // macro means rounded to 9 dp: the mean of 500 doubles accumulates in
+    // partition-dependent order — rounding makes the oracle compare exact
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("p")), 9).as("precision"),
+      round(avg(col("r")), 9).as("recall"),
+      round(avg(col("f1")), 9).as("f1"))
+  }
+
+  def evalPrfSql: String =
+    s"""WITH rf AS ($ruleFieldsInner),
+       pd AS (
+         SELECT rf.doc_id,
+           (CASE WHEN invoice_number != '' THEN 1 ELSE 0 END +
+            CASE WHEN total_amount  != '' THEN 1 ELSE 0 END +
+            CASE WHEN date_value    != '' THEN 1 ELSE 0 END +
+            CASE WHEN email         != '' THEN 1 ELSE 0 END +
+            CASE WHEN phone_number  != '' THEN 1 ELSE 0 END) AS n_parsed,
+           6 AS n_gt,
+           (CASE WHEN invoice_number = 'INV-' || rf.doc_id THEN 1 ELSE 0 END +
+            CASE WHEN total_amount = CAST(d.n_chars AS VARCHAR) || '.5' THEN 1 ELSE 0 END +
+            CASE WHEN date_value = '12/15/2024' THEN 1 ELSE 0 END +
+            CASE WHEN email = 'user' || rf.doc_id || '@example.com' THEN 1 ELSE 0 END +
+            CASE WHEN phone_number = '(555) 123-4567' THEN 1 ELSE 0 END) AS n_exact
+         FROM rf JOIN documents d ON rf.doc_id = CAST(d.doc_id AS VARCHAR)),
+       m AS (SELECT doc_id,
+               CAST(n_exact AS DOUBLE) / n_parsed AS p,
+               CAST(n_exact AS DOUBLE) / n_gt AS r
+             FROM pd)
+       SELECT count(*) AS n_docs, round(avg(p), 9) AS precision, round(avg(r), 9) AS recall,
+              round(avg(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END), 9) AS f1
+       FROM m"""
+
+  /** The x4 construction+extraction as a DuckDB CTE body (shared by the
+    * eval oracles).
+    */
+  private def ruleFieldsInner: String =
+    """SELECT doc_id,
+         regexp_extract(t, '(?:invoice|inv|bill)\s*(?:number|#|no\.?)\s*:?\s*([A-Z0-9-]+)', 1, 'i') AS invoice_number,
+         CAST(CAST(regexp_extract(t, '(?:total|amount|sum|due)\s*:?\s*\$?([0-9,]+\.?[0-9]*)', 1, 'i') AS DOUBLE) AS VARCHAR) AS total_amount,
+         regexp_extract(t, '([0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})', 1, 'i') AS date_value,
+         regexp_extract(t, '([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})', 1, 'i') AS email,
+         regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'i') AS phone_number
+       FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'Invoice Number: INV-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'Total: $' || CAST(n_chars AS VARCHAR) || '.50' || chr(10) ||
+         'Email: user' || CAST(doc_id AS VARCHAR) || '@example.com' || chr(10) ||
+         'Date: 12/15/2024' || chr(10) ||
+         'Phone: (555) 123-4567' || chr(10) || chr(10) || text AS t
+       FROM documents) s"""
+
   /** A3 signature statistics (`signatures.py:341-354`): docs per canonical
     * signature family + classification by match event; avg docs/signature.
     * Rows-only (signature ids derive from the engine's own hash).
