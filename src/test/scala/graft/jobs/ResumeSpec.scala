@@ -69,4 +69,16 @@ class ResumeSpec extends AnyFunSuite {
     val m = spark.read.parquet(s"$outB/metrics")
     assert(m.agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0) == total)
   }
+
+  test("all three extract layouts produce identical results (pure per-row core)") {
+    import spark.implicits._
+    val docs = spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i))
+    def hashes(layout: ExtractJob.Layout) =
+      ExtractJob.extract(spark, docs, layout = layout).collect()
+        .map(r => r.doc_id -> DocParser.spanHash(r.spans)).toMap
+    val scan = hashes(ExtractJob.Layout.ScanSplits)
+    assert(scan.size == 200)
+    assert(hashes(ExtractJob.Layout.RoundRobin()) == scan)
+    assert(hashes(ExtractJob.Layout.ByBucket) == scan)
+  }
 }
