@@ -15,8 +15,26 @@ import java.nio.file.{Files, Paths}
   */
 class GoldenSpec extends AnyFunSuite {
 
-  private val corpusDir = "/root/repo/data/docs/sf0.001"
   private val goldenJson = "/root/repo/src/test/resources/goldens/sf0.001.json"
+
+  /** The corpus is a pure function of the doc index (CorpusGen) — (re)write
+    * it when absent so `sbt -batch test` is self-contained; only the
+    * reference-derived goldens (tracked in test resources) need the one-time
+    * Python harness.
+    */
+  private def corpus(sf: String): String = {
+    val dir = s"/root/repo/data/docs/sf$sf"
+    if (!Files.exists(Paths.get(dir))) {
+      import spark.implicits._
+      val n = graft.corpus.CorpusGen.numDocs(sf.toDouble)
+      spark.range(0, n, 1, math.max(8, n / 2000))
+        .map(i => graft.corpus.CorpusGen.gen(i))
+        .write.parquet(dir)
+    }
+    dir
+  }
+
+  private lazy val corpusDir = corpus("0.001")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
@@ -26,7 +44,7 @@ class GoldenSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def available: Boolean =
-    Files.exists(Paths.get(corpusDir)) && Files.exists(Paths.get(goldenJson))
+    Files.exists(Paths.get(goldenJson)) && Files.exists(Paths.get(corpusDir))
 
   test("span-sequence exact match vs reference goldens (sf0.001, full corpus)") {
     assume(available, "corpus/goldens not generated")
@@ -73,10 +91,10 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   private def checkHashes(sf: String): Unit = {
-    val dir = s"/root/repo/data/docs/sf$sf"
-    val hashFile = Paths.get(s"/root/repo/data/goldens/sf$sf.hashes.jsonl")
-    assume(Files.exists(Paths.get(dir)) && Files.exists(hashFile),
-      s"sf$sf corpus/hash goldens not generated")
+    val hashFile = Paths.get(
+      s"/root/repo/src/test/resources/goldens/sf$sf.hashes.jsonl")
+    assume(Files.exists(hashFile), s"sf$sf hash goldens not generated")
+    val dir = corpus(sf)
     val mapper = new ObjectMapper()
     val expected = scala.io.Source.fromFile(hashFile.toFile).getLines().map { line =>
       val n = mapper.readTree(line)

@@ -227,8 +227,8 @@ def main():
         if sf == '0.001':
             goldens[row['doc_id']] = g
 
-    os.makedirs(os.path.join(repo, 'data', 'goldens'), exist_ok=True)
-    with open(os.path.join(repo, 'data', 'goldens', 'sf%s.hashes.jsonl' % sf), 'w') as f:
+    os.makedirs(os.path.join(repo, 'src/test/resources/goldens'), exist_ok=True)
+    with open(os.path.join(repo, 'src/test/resources/goldens', 'sf%s.hashes.jsonl' % sf), 'w') as f:
         for d, h in hashes:
             f.write(json.dumps({'doc_id': d, 'hash': h}) + '\n')
     if sf == '0.001':
