@@ -186,6 +186,10 @@ object ExtractMain {
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ScanSplits task granularity: 128m (Spark default) is right at
+      // cluster scale; local corpora are small, so allow finer splits
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
