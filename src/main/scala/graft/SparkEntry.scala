@@ -43,6 +43,7 @@ object SparkEntry {
     "q9_orders_by_month" -> (RelationalOps.q9OrdersByMonth _),
     "q10_anti_join" -> (RelationalOps.q10AntiJoin _),
     "q11_semi_join" -> (RelationalOps.q11SemiJoin _),
+    "q12_fact_join" -> (RelationalOps.q12FactJoin _),
     "p3_library_search" -> (RelationalOps.p3LibrarySearch _),
     "a2_repo_stats" -> (RelationalOps.a2RepoStats _),
     // dedup
@@ -81,6 +82,7 @@ object SparkEntry {
     "q9_orders_by_month" -> RelationalOps.q9Sql,
     "q10_anti_join" -> RelationalOps.q10Sql,
     "q11_semi_join" -> RelationalOps.q11Sql,
+    "q12_fact_join" -> RelationalOps.q12Sql,
     "p3_library_search" -> RelationalOps.p3Sql,
     "a2_repo_stats" -> RelationalOps.a2Sql,
     "d1_exact_dedup" -> DedupOps.exactDedupSql,

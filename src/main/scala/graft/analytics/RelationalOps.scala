@@ -219,6 +219,31 @@ object RelationalOps {
                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Fact-to-fact shuffle join: both sides too large to broadcast →
+    * sort-merge/shuffled-hash on the join key, with AQE free to pick.
+    * The one join class q2/q3's broadcast dimensions don't cover.
+    */
+  def q12FactJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy($c("o_orderpriority"))
+      .agg(
+        countDistinct($c("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(($c("l_extendedprice").cast("decimal(18,2)")) *
+          (lit(1).cast("decimal(18,2)") - $c("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q12Sql: String =
+    """SELECT o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** P3/O1 library search: filter + sort by recency-analog + limit
     * (`storage.py:113-145`).
     */
