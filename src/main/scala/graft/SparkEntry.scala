@@ -27,6 +27,7 @@ object SparkEntry {
     "x2_extract_full" -> (ExtractQueries.extractFull _),
     "x3_extract_spans" -> (ExtractQueries.extractSpans _),
     "x4_rule_fields" -> (ExtractQueries.ruleFields _),
+    "x5_block_classify" -> (ExtractQueries.blockClassify _),
     "a3_signature_stats" -> (ExtractQueries.signatureStats _),
     "a4_usage_snapshot" -> (ExtractQueries.usageSnapshot _),
     "a6_field_accuracy" -> (ExtractQueries.fieldAccuracy _),

@@ -44,6 +44,8 @@ object ExtractJob {
       page_count: Int,
       content_hash: String,
       error: String,
+      n_blocks: Int,
+      n_blocks_kept: Int,
       bucket: Int,
       partition_id: Int,
       bytes_in: Long,
@@ -140,7 +142,7 @@ object ExtractJob {
           ExtractedRow(p.docId, p.fileType, p.spans, p.signatureId,
             p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
             p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
-            bucketOf(p.docId), pid, bytesIn, us)
+            p.nBlocks, p.nBlocksKept, bucketOf(p.docId), pid, bytesIn, us)
         }
       }
   }

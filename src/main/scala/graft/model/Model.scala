@@ -101,7 +101,9 @@ final case class ParsedDoc(
     charCount: Long,
     pageCount: Int,
     contentHash: String,
-    error: String) // "" when ok; error-channel rows carry the message
+    error: String, // "" when ok; error-channel rows carry the message
+    nBlocks: Int = 0, // html only: text blocks seen by the block classifier
+    nBlocksKept: Int = 0) // … of which labelled content (R1 stage ii)
 
 /** Per-partition lineage/metrics row (north rule: "per-partition lineage +
   * metrics rows written alongside results").

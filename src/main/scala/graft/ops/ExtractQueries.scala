@@ -246,6 +246,30 @@ object ExtractQueries {
       lit(0.0).as("total_cost_usd"))
   }
 
+  /** Rows-only: Boilerpipe-style block classification (R1 stage ii) over
+    * HTML built from driver data — a nav + footer of links around the doc's
+    * paragraphs; the engine reports per-doc block/kept counts.
+    */
+  def blockClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .map { case (id, text) =>
+        val paras = text.split(" ").grouped(30).map(_.mkString(" "))
+          .map(p => s"<p>$p</p>").mkString("\n")
+        val html =
+          s"""<html><body><nav><a href="/">Home</a> <a href="/n">News</a> <a href="/c">Contact</a></nav>
+             |<div>$paras</div>
+             |<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>""".stripMargin
+        InputDoc(id, Seq(Span("html", html, "", 0)))
+      }
+    ExtractJob.extract(spark, docs)
+      .select(col("doc_id"), col("n_blocks"), col("n_blocks_kept"),
+        (col("n_blocks") - col("n_blocks_kept")).as("n_boilerplate"))
+      .orderBy("doc_id")
+  }
+
   /** Rows-only: exploded canonical span sequence. */
   def extractSpans(spark: SparkSession, dir: String): DataFrame =
     ExtractJob.extract(spark, docsFromDocuments(spark, dir))

@@ -59,6 +59,8 @@ object DocParser {
 
     // --- Extract: full text, layout elements, sections with anchor offsets.
     var fullText = ""
+    var nBlocks = 0
+    var nBlocksKept = 0
     var elements: Seq[LayoutElement] = Seq.empty
     // (anchorOffset, section) — anchor = offset of the input span that
     // produced the section, for media interleaving (FIXTURES.md §4 part 1).
@@ -68,6 +70,13 @@ object DocParser {
       case "text" | "html" =>
         val span = content.head
         val text = if (fileType == "html") HtmlStrip.strip(span.text) else span.text
+        if (fileType == "html") {
+          // R1 stage ii: density-based block labels, metrics-only — the
+          // canonical text above stays reference-exact (golden equality).
+          val blocks = BlockClassifier.classify(span.text)
+          nBlocks = blocks.size
+          nBlocksKept = blocks.count(_.kept)
+        }
         fullText = text
         elements = Seq(LayoutElement(text, "text", 0, 0, PageW, PageH, 1, PageW, PageH))
         sections = Sectionizer.textSections(elements).map(span.offset -> _)
@@ -163,7 +172,9 @@ object DocParser {
       charCount = fullText.length.toLong,
       pageCount = pageCount,
       contentHash = contentHash,
-      error = "")
+      error = "",
+      nBlocks = nBlocks,
+      nBlocksKept = nBlocksKept)
   }
 
   /** Stable digest of a doc's span sequence — the compact golden-comparison
