@@ -74,18 +74,33 @@ object ScalingBench {
       sinkOnce() // warmup (cold dir + committer paths)
       val sinkTimes = (1 to math.max(1, iters - 1)).map(_ => sinkOnce())
 
+      // file-granular resumable job (zero shuffle): full read→parse→write→
+      // manifest on a FRESH output dir each time (uncached input — the
+      // scan is part of the job, as in production)
+      var fsRun = 0
+      def fileSinkOnce(): Double = {
+        fsRun += 1
+        val out = s"/tmp/graft_scaling_fs_$cpus/run$fsRun"
+        val t0 = System.nanoTime()
+        graft.jobs.FileResumableExtract.run(spark, corpus, out)
+        (System.nanoTime() - t0) / 1e9
+      }
+      fileSinkOnce() // warmup
+      val fsTimes = (1 to math.max(1, iters - 1)).map(_ => fileSinkOnce())
+
       val pSec = median(parseTimes)
       val sSec = median(sinkTimes)
-      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"iters":$iters,"corpus":"$corpus"}""")
+      val fSec = median(fsTimes)
+      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,"iters":$iters,"corpus":"$corpus"}""")
       spark.stop()
-      (cpus, nDocs / pSec, nDocs / sSec)
+      (cpus, nDocs / pSec, nDocs / sSec, nDocs / fSec)
     }
 
     if (perLevel.length == 2) {
-      val (c1, p1, s1) = perLevel(0)
-      val (c2, p2, s2) = perLevel(1)
+      val (c1, p1, s1, f1) = perLevel(0)
+      val (c2, p2, s2, f2) = perLevel(1)
       val ratio = c2.toDouble / c1
-      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f}""")
+      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f,"filesink_eff":${(f2 / f1) / ratio}%.3f}""")
     }
   }
 }

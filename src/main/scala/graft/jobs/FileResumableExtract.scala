@@ -1,0 +1,145 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.model.{CanonicalSignature, InputDoc}
+import graft.parse.{DocParser, SignatureTable}
+import org.apache.spark.TaskContext
+
+/** Checkpoint/resume at INPUT-FILE granularity — the zero-shuffle
+  * alternative to the bucket protocol ([[ResumableExtract]]).
+  *
+  * The bucket design pays a full-corpus hash shuffle before parsing so sink
+  * files align with resume units. At 100 TB that shuffle moves every raw
+  * byte once — the single most expensive avoidable operation in the job.
+  * Tracking completed INPUT FILES instead (exactly how Structured
+  * Streaming's file source checkpoints) removes it:
+  *
+  *  - the resume unit is one input parquet file; `file_id` =
+  *    md5(file basename), a fixed-width safe partition value;
+  *  - parse runs on the scan's own splits (ScanSplits — raw bytes never
+  *    move); output is written `partitionBy("file_id")`, so each task
+  *    writes only into its own file's partition dirs;
+  *  - a file is COMMITTED iff `_manifest/file_<id>.done` exists; markers
+  *    are written after the write job commits; rollback-on-start deletes
+  *    uncommitted `file_id=` dirs;
+  *  - resume lists input files, anti-joins the manifest, and scans ONLY
+  *    the pending files — committed input is never re-read, let alone
+  *    re-parsed (file-level pruning beats even partition pruning).
+  *
+  * Trade-off vs buckets: resume granularity follows input file sizing
+  * (fine if the table is written with sane file sizes, as Iceberg enforces),
+  * and the manifest grows with file count — at 10^12 docs that is an
+  * Iceberg-metadata-scale problem, which Iceberg's snapshot log already
+  * solves; the marker-file stand-in mirrors it locally.
+  */
+object FileResumableExtract {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(out: String) = new Path(s"$out/_manifest")
+
+  def fileId(baseName: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  def inputFiles(spark: SparkSession, inPath: String): Seq[String] = {
+    val dir = new Path(inPath)
+    fs(spark, inPath).listStatus(dir).iterator
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  def completedFileIds(spark: SparkSession, out: String): Set[String] = {
+    val f = fs(spark, out)
+    val dir = manifestDir(out)
+    if (!f.exists(dir)) Set.empty
+    else
+      f.listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case n if n.startsWith("file_") && n.endsWith(".done") =>
+          n.stripPrefix("file_").stripSuffix(".done")
+      }.toSet
+  }
+
+  def rollbackUncommitted(spark: SparkSession, out: String): Unit = {
+    val done = completedFileIds(spark, out)
+    val f = fs(spark, out)
+    val resultsDir = new Path(s"$out/results")
+    if (f.exists(resultsDir))
+      f.listStatus(resultsDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("file_id=") && !done.contains(n.stripPrefix("file_id=")))
+          f.delete(st.getPath, true)
+      }
+  }
+
+  /** One (re)start. Returns docs processed by THIS invocation. */
+  def run(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      table: Seq[CanonicalSignature] = SignatureTable.Default,
+      onlyFiles: Option[Set[String]] = None): Long = {
+    import spark.implicits._
+    val done = completedFileIds(spark, outPath)
+    rollbackUncommitted(spark, outPath)
+    val pending = inputFiles(spark, inPath)
+      .filter { p =>
+        val id = fileId(new Path(p).getName)
+        !done.contains(id) && onlyFiles.forall(_.contains(id))
+      }
+    if (pending.isEmpty) return 0L
+
+    // Scan ONLY the pending files; no shuffle anywhere in the job.
+    val bc = spark.sparkContext.broadcast(table)
+    val results = spark.read.parquet(pending: _*)
+      .select(col("doc_id").as("_1"), col("spans").as("_2"),
+        md5(substring_index(input_file_name(), "/", -1)).as("_3"))
+      .as[(String, Seq[graft.model.Span], String)]
+      .mapPartitions { iter =>
+        val pool = DocParser.pooled(bc.value)
+        val pid = TaskContext.getPartitionId()
+        iter.map { case (docId, spans, fid) =>
+          val t0 = System.nanoTime()
+          val p = DocParser.parse(InputDoc(docId, spans), pool)
+          val us = (System.nanoTime() - t0) / 1000
+          var bytesIn = 0L
+          spans.foreach(s => bytesIn += s.text.length + s.media_ref.length)
+          (ExtractJob.ExtractedRow(p.docId, p.fileType, p.spans, p.signatureId,
+            p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
+            p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
+            p.nBlocks, p.nBlocksKept, ExtractJob.bucketOf(p.docId), pid,
+            bytesIn, us), fid)
+        }
+      }
+      .select(col("_1.*"), col("_2").as("file_id"))
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      results.write.mode(SaveMode.Overwrite)
+        .partitionBy("file_id")
+        .parquet(s"$outPath/results")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val written = spark.read.parquet(s"$outPath/results")
+      .filter(!col("file_id").isin(done.toSeq: _*))
+    ExtractJob.partitionMetrics(written)
+      .write.mode(SaveMode.Append).parquet(s"$outPath/metrics")
+    val f = fs(spark, outPath)
+    f.mkdirs(manifestDir(outPath))
+    pending.foreach { p =>
+      f.create(new Path(manifestDir(outPath),
+        s"file_${fileId(new Path(p).getName)}.done"), true).close()
+    }
+    written.count()
+  }
+}
