@@ -33,6 +33,8 @@ object ExtractJob {
       doc_id: String,
       file_type: String,
       spans: Seq[graft.model.OutSpan],
+      n_spans: Int, // scalar twin of size(spans): lets metrics/lineage
+      // aggregations prune to int columns instead of re-decoding span text
       signature_id: String,
       sig_similarity: Double,
       sig_event: String,
@@ -139,7 +141,7 @@ object ExtractJob {
           val t0 = System.nanoTime()
           val p: ParsedDoc = DocParser.parse(doc, pool)
           val us = (System.nanoTime() - t0) / 1000
-          ExtractedRow(p.docId, p.fileType, p.spans, p.signatureId,
+          ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length, p.signatureId,
             p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
             p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
             p.nBlocks, p.nBlocksKept, bucketOf(p.docId), pid, bytesIn, us)
@@ -155,7 +157,7 @@ object ExtractJob {
       count(lit(1)).as("docs_in"),
       sum(when(col("error") === "", 1L).otherwise(0L)).as("docs_ok"),
       sum(when(col("error") =!= "", 1L).otherwise(0L)).as("docs_err"),
-      sum(size(col("spans"))).as("spans_out"),
+      sum(col("n_spans")).as("spans_out"),
       sum(col("bytes_in")).as("bytes_in"),
       sum(col("parse_us")).as("parse_us"))
 

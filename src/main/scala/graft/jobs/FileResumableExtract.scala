@@ -110,7 +110,8 @@ object FileResumableExtract {
           val us = (System.nanoTime() - t0) / 1000
           var bytesIn = 0L
           spans.foreach(s => bytesIn += s.text.length + s.media_ref.length)
-          (ExtractJob.ExtractedRow(p.docId, p.fileType, p.spans, p.signatureId,
+          (ExtractJob.ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length,
+            p.signatureId,
             p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
             p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
             p.nBlocks, p.nBlocksKept, ExtractJob.bucketOf(p.docId), pid,
