@@ -81,6 +81,8 @@ object ScalingBench {
       def fileSinkOnce(): Double = {
         fsRun += 1
         val out = s"/tmp/graft_scaling_fs_$cpus/run$fsRun"
+        // fresh dir: a leftover manifest would make resume (correctly) no-op
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val t0 = System.nanoTime()
         graft.jobs.FileResumableExtract.run(spark, corpus, out)
         (System.nanoTime() - t0) / 1e9
