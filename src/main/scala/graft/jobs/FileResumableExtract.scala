@@ -144,3 +144,27 @@ object FileResumableExtract {
     written.count()
   }
 }
+
+/** spark-submit / runMain entry: FileResumableMain <inDir> <outDir>. The
+  * zero-shuffle resumable job; safe to re-invoke after a kill.
+  */
+object FileResumableMain {
+  def main(args: Array[String]): Unit = {
+    val Array(in, out) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-extract-file-resumable")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = FileResumableExtract.run(spark, in, out)
+    println(s"processed $n docs this run; " +
+      s"${FileResumableExtract.completedFileIds(spark, out).size} input files committed")
+    spark.stop()
+  }
+}
