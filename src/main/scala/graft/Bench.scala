@@ -53,7 +53,14 @@ object Bench {
     val qs = allTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allTimings.values.sum
-    println(s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes stdout with [info], which broke the driver's JSON parse
+    // in round 1 — also persist the line to a file it can read directly.
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Path.of(benchFile), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

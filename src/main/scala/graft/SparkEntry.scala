@@ -46,6 +46,8 @@ object SparkEntry {
     "q11_semi_join" -> (RelationalOps.q11SemiJoin _),
     "q12_fact_join" -> (RelationalOps.q12FactJoin _),
     "p3_library_search" -> (RelationalOps.p3LibrarySearch _),
+    "p1_doc_lookup" -> (RelationalOps.p1DocLookup _),
+    "p5_retention" -> (RelationalOps.p5Retention _),
     "a2_repo_stats" -> (RelationalOps.a2RepoStats _),
     // dedup
     "d1_exact_dedup" -> (DedupOps.exactDedup _),
@@ -54,6 +56,7 @@ object SparkEntry {
     "d4_lsh_pairs" -> (DedupOps.lshPairs _),
     "d5_simhash" -> (DedupOps.simhash _),
     "d6_embed_neardup" -> (DedupOps.embedNearDup _),
+    "d7_lsh_neardup" -> (DedupOps.lshNearDup _),
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
@@ -85,6 +88,8 @@ object SparkEntry {
     "q11_semi_join" -> RelationalOps.q11Sql,
     "q12_fact_join" -> RelationalOps.q12Sql,
     "p3_library_search" -> RelationalOps.p3Sql,
+    "p1_doc_lookup" -> RelationalOps.p1Sql,
+    "p5_retention" -> RelationalOps.p5Sql,
     "a2_repo_stats" -> RelationalOps.a2Sql,
     "d1_exact_dedup" -> DedupOps.exactDedupSql,
     "d2_ngram_jaccard" -> DedupOps.ngramJaccardSql,
@@ -92,6 +97,7 @@ object SparkEntry {
     "d4_lsh_pairs" -> DedupOps.lshPairsSql,
     "d5_simhash" -> DedupOps.simhashSql,
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
+    "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "t2_quality" -> TextOps.qualitySql,

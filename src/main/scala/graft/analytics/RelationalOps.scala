@@ -161,7 +161,7 @@ object RelationalOps {
 
   def q7Sql: String =
     """SELECT event_type, count(*) AS n,
-       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_high,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS high_ratio
        FROM events GROUP BY event_type ORDER BY event_type"""
 
@@ -276,6 +276,42 @@ object RelationalOps {
        CAST(sum(n_chars) AS BIGINT) AS total_size_chars,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_size_chars
        FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Point lookup — the library detail-page fetch-by-id
+    * (`storage.py:95-111`): a single-key predicate pushed to the parquet
+    * scan (row-group/page pruning at scale; a metadata lookup on Iceberg).
+    */
+  def p1DocLookup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter($c("doc_id") === 42L)
+      .select($c("doc_id"), $c("lang"), $c("source"), $c("n_chars"), $c("text"))
+
+  def p1Sql: String =
+    """SELECT doc_id, lang, source, n_chars, text FROM documents
+       WHERE doc_id = 42"""
+
+  /** P5 retention split (`storage.py:177-203`): one pass classifying rows
+    * against the age cutoff — `n_purged` is what `DocStore.deleteWhere`
+    * would drop, `n_kept` what survives. The delete op itself lives on the
+    * results store (graft.sources.DocStore.deleteWhere, DocStoreSpec).
+    */
+  def p5Retention(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    t(spark, dir, "events")
+      .groupBy($c("event_type"))
+      .agg(
+        sum(when($c("ts") >= cutoff, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($c("ts") < cutoff, 1L).otherwise(0L)).as("n_purged"),
+        max(when($c("ts") < cutoff, $c("ts"))).as("newest_purged"))
+      .orderBy("event_type")
+  }
+
+  def p5Sql: String =
+    """SELECT event_type,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END) AS newest_purged
+       FROM events GROUP BY event_type ORDER BY event_type"""
 
   private def $c(n: String) = col(n)
 }

@@ -58,6 +58,13 @@ object ExtractJob {
     * 4096) so buckets stay executor-memory-sized — the protocol is
     * unchanged. Must be held constant across restarts of the same output
     * dir (it keys the manifest), like any partitioning config.
+    *
+    * Resolved ONCE on the driver. Executor closures must never read this
+    * `val` directly (each JVM re-resolves the env var at object init, and
+    * cluster executors don't inherit the driver's environment — driver and
+    * executors could disagree on bucket assignment, corrupting the resume
+    * protocol). Every closure below captures the driver-side value into a
+    * local and passes it to [[bucketOf]] explicitly.
     */
   val NumBuckets: Int =
     sys.env.get("GRAFT_NUM_BUCKETS").map(_.toInt).getOrElse(64)
@@ -66,15 +73,17 @@ object ExtractJob {
     * ([[bucketCol]]) and in plain Scala — letting the sink repartition by
     * bucket (one file per bucket instead of tasks×buckets small files)
     * while the manifest/rollback side recomputes it off the wire.
+    * `n` must be the DRIVER's bucket count (see [[NumBuckets]]).
     */
-  def bucketOf(docId: String): Int = {
+  def bucketOf(docId: String, n: Int = NumBuckets): Int = {
     val c = new java.util.zip.CRC32
     c.update(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (c.getValue % NumBuckets).toInt
+    (c.getValue % n).toInt
   }
 
   /** Column twin of [[bucketOf]] — `crc32` is codegen'd, stays in
-    * WholeStageCodegen.
+    * WholeStageCodegen. `lit(NumBuckets)` is evaluated on the driver, so
+    * the column form is immune to the env-divergence hazard by design.
     */
   def bucketCol: org.apache.spark.sql.Column =
     pmod(crc32(encode(col("doc_id"), "UTF-8")), lit(NumBuckets.toLong)).cast("int")
@@ -128,6 +137,7 @@ object ExtractJob {
       case Layout.ByBucket =>
         docs.toDF().repartition(NumBuckets, bucketCol).as[InputDoc]
     }
+    val nb = NumBuckets // driver-side capture (see NumBuckets scaladoc)
     parts
       .mapPartitions { iter =>
         val pool = DocParser.pooled(bc.value) // pooled per-partition state
@@ -144,7 +154,7 @@ object ExtractJob {
           ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length, p.signatureId,
             p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
             p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
-            p.nBlocks, p.nBlocksKept, bucketOf(p.docId), pid, bytesIn, us)
+            p.nBlocks, p.nBlocksKept, bucketOf(p.docId, nb), pid, bytesIn, us)
         }
       }
   }
@@ -153,7 +163,15 @@ object ExtractJob {
     * no extra pass over span text).
     */
   def partitionMetrics(results: DataFrame): DataFrame =
-    results.groupBy(col("partition_id")).agg(
+    unitMetrics(results, "partition_id")
+
+  /** Lineage/metrics rows keyed on an arbitrary commit unit (bucket,
+    * file_id, …) so the resumable protocols can (re)write metrics
+    * idempotently per unit — a replayed unit OVERWRITES its metrics
+    * partition instead of double-counting an append.
+    */
+  def unitMetrics(results: DataFrame, unit: String): DataFrame =
+    results.groupBy(col(unit)).agg(
       count(lit(1)).as("docs_in"),
       sum(when(col("error") === "", 1L).otherwise(0L)).as("docs_ok"),
       sum(when(col("error") =!= "", 1L).otherwise(0L)).as("docs_err"),
@@ -161,22 +179,43 @@ object ExtractJob {
       sum(col("bytes_in")).as("bytes_in"),
       sum(col("parse_us")).as("parse_us"))
 
+  /** ok/err observation attached to a results plan: the totals are
+    * collected DURING the write pass (Dataset.observe), not by re-reading
+    * 100 TB of freshly-written output afterwards.
+    */
+  def observeCounts(results: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (results.observe(obs,
+      sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
+      sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
+      count(lit(1)).as("docs")), obs)
+  }
+
+  private[jobs] def okErr(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    val m = obs.get
+    def l(k: String) = m.get(k) match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    (l("ok"), l("err"))
+  }
+
   /** Full job: read → extract → write results (bucketed dirs for resume) +
-    * metrics. Returns (docsOk, docsErr).
+    * metrics. Returns (docsOk, docsErr) — observed on the write pass.
+    * The metrics aggregation reads back the written table but prunes to
+    * the scalar int columns (n_spans twin, no span payloads decoded).
     */
   def run(spark: SparkSession, inPath: String, outPath: String): (Long, Long) = {
     val docs = readDocs(spark, inPath)
-    val results = extract(spark, docs, layout = Layout.ByBucket)
+    val (results, obs) = observeCounts(
+      extract(spark, docs, layout = Layout.ByBucket).toDF())
     results.write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(s"$outPath/results")
-    val written = spark.read.parquet(s"$outPath/results")
-    partitionMetrics(written).write.mode("overwrite")
+    partitionMetrics(spark.read.parquet(s"$outPath/results"))
+      .write.mode("overwrite")
       .parquet(s"$outPath/metrics")
-    val counts = written.agg(
-      sum(when(col("error") === "", 1L).otherwise(0L)),
-      sum(when(col("error") =!= "", 1L).otherwise(0L))).head()
-    (counts.getLong(0), if (counts.isNullAt(1)) 0L else counts.getLong(1))
+    okErr(obs)
   }
 }
 

@@ -47,6 +47,17 @@ object FileResumableExtract {
       .map("%02x".format(_)).mkString
   }
 
+  /** `input_file_name()` returns the task's file as a URL-ENCODED URI
+    * string; the driver-side manifest ids are computed from the RAW
+    * basename (`Path.getName`). Both sides must hash the same string, or a
+    * basename needing encoding (space, `%`, non-ASCII) would write output
+    * under one id and its commit marker under another — rollback would
+    * then delete committed output. `URI.getPath` percent-decodes without
+    * `+`-to-space mangling (unlike URLDecoder), recovering the raw name.
+    */
+  def fileIdFromUri(fileUri: String): String =
+    fileId(new Path(new java.net.URI(fileUri).getPath).getName)
+
   def inputFiles(spark: SparkSession, inPath: String): Seq[String] = {
     val dir = new Path(inPath)
     fs(spark, inPath).listStatus(dir).iterator
@@ -97,14 +108,20 @@ object FileResumableExtract {
 
     // Scan ONLY the pending files; no shuffle anywhere in the job.
     val bc = spark.sparkContext.broadcast(table)
-    val results = spark.read.parquet(pending: _*)
+    val nb = ExtractJob.NumBuckets // driver-side capture (cluster-safe)
+    val results0 = spark.read.parquet(pending: _*)
       .select(col("doc_id").as("_1"), col("spans").as("_2"),
-        md5(substring_index(input_file_name(), "/", -1)).as("_3"))
+        input_file_name().as("_3"))
       .as[(String, Seq[graft.model.Span], String)]
       .mapPartitions { iter =>
         val pool = DocParser.pooled(bc.value)
         val pid = TaskContext.getPartitionId()
-        iter.map { case (docId, spans, fid) =>
+        // one fileId per distinct URI (rows arrive file-clustered)
+        var lastUri: String = null
+        var lastFid: String = null
+        iter.map { case (docId, spans, uri) =>
+          if (uri != lastUri) { lastUri = uri; lastFid = fileIdFromUri(uri) }
+          val fid = lastFid
           val t0 = System.nanoTime()
           val p = DocParser.parse(InputDoc(docId, spans), pool)
           val us = (System.nanoTime() - t0) / 1000
@@ -114,11 +131,12 @@ object FileResumableExtract {
             p.signatureId,
             p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
             p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
-            p.nBlocks, p.nBlocksKept, ExtractJob.bucketOf(p.docId), pid,
+            p.nBlocks, p.nBlocksKept, ExtractJob.bucketOf(p.docId, nb), pid,
             bytesIn, us), fid)
         }
       }
       .select(col("_1.*"), col("_2").as("file_id"))
+    val (results, obs) = ExtractJob.observeCounts(results0)
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -131,17 +149,30 @@ object FileResumableExtract {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
 
+    // Metrics per commit unit (file_id), published with dynamic partition
+    // overwrite: a file replayed after a crash between this write and its
+    // marker REPLACES its metrics rows — lineage sums never double-count.
+    // The read-back prunes to scalar metric columns (no span decode).
     val written = spark.read.parquet(s"$outPath/results")
       .filter(!col("file_id").isin(done.toSeq: _*))
-    ExtractJob.partitionMetrics(written)
-      .write.mode(SaveMode.Append).parquet(s"$outPath/metrics")
+    val prevM = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      ExtractJob.unitMetrics(written, "file_id")
+        .write.mode(SaveMode.Overwrite).partitionBy("file_id")
+        .parquet(s"$outPath/metrics")
+    finally prevM match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     val f = fs(spark, outPath)
     f.mkdirs(manifestDir(outPath))
     pending.foreach { p =>
       f.create(new Path(manifestDir(outPath),
         s"file_${fileId(new Path(p).getName)}.done"), true).close()
     }
-    written.count()
+    val (ok, err) = ExtractJob.okErr(obs)
+    ok + err
   }
 }
 

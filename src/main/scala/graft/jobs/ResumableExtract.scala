@@ -40,26 +40,36 @@ object ResumableExtract {
     val done = completedBuckets(spark, outPath, store)
     store.rollbackUncommitted(spark, outPath)
     val docs0: Dataset[InputDoc] = store.readDocs(spark, inPath)
-    val docs = docs0.filter { d =>
-      val b = ExtractJob.bucketOf(d.doc_id)
-      !done.contains(b) && onlyBuckets.forall(_.contains(b))
-    }
+    // Column-form resume filter: crc32 bucket derivation stays inside
+    // WholeStageCodegen, so committed docs are skipped without
+    // deserializing their span payloads into InputDoc objects (a typed
+    // lambda here would decode the FULL corpus on every restart).
+    val bc = ExtractJob.bucketCol
+    val pending = onlyBuckets.foldLeft(
+      if (done.isEmpty) docs0.toDF() else docs0.toDF().filter(!bc.isin(done.toSeq: _*))
+    )((df, only) => df.filter(bc.isin(only.toSeq: _*)))
+    import spark.implicits._
+    val docs = pending.as[InputDoc]
     if (docs.isEmpty) return 0L
 
-    val results = ExtractJob.extract(spark, docs, table, ExtractJob.Layout.ByBucket)
-    store.writeBuckets(results.toDF(), outPath)
+    val (results, obs) = ExtractJob.observeCounts(
+      ExtractJob.extract(spark, docs, table, ExtractJob.Layout.ByBucket).toDF())
+    store.writeBuckets(results, outPath)
+    val (okCount, errCount) = ExtractJob.okErr(obs)
 
-    // Only now is the bucket durable — commit the markers + this run's
-    // lineage/metrics rows (appended: one batch per restart).
+    // Only now is the bucket durable — publish this run's lineage/metrics
+    // idempotently per bucket (a crash between here and commitBuckets
+    // replays the buckets on restart and OVERWRITES these rows — no
+    // double count), then commit the markers. The read-back prunes to the
+    // scalar metric columns; span payloads are never decoded again.
     val written = store.readResults(spark, outPath)
       .filter(!col("bucket").isin(done.toSeq: _*))
     val processedBuckets = written.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    store.appendMetrics(
-      ExtractJob.partitionMetrics(written)
-        .withColumn("run_buckets", lit(processedBuckets.size)), outPath)
+    store.writeUnitMetrics(
+      ExtractJob.unitMetrics(written, "bucket"), outPath, "bucket")
     store.commitBuckets(spark, outPath, processedBuckets)
-    written.count()
+    okCount + errCount
   }
 
   def completedBuckets(

@@ -48,15 +48,33 @@ object DedupOps {
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))).as("shingles"))
 
-  /** n-gram Jaccard near-dup pairs: explode shingles, self-join on shingle,
-    * count intersection, jaccard = |∩| / (|A|+|B|-|∩|).
+  /** Hot-shingle bound for [[ngramJaccardPairs]]: shingles occurring in more
+    * than this many documents are dropped before the self-join (classic
+    * document-frequency / prefix filtering). A shingle with df=d produces
+    * d·(d-1)/2 join rows — one corpus-scale stopword trigram would make the
+    * per-key join quadratic AND that key a skewed shuffle straggler. The
+    * bound caps per-key fan-out at ~5k rows regardless of corpus size; such
+    * shingles carry no near-dup signal anyway (they match everything). At
+    * the oracle SF the max df is 7, so results are unchanged there.
+    */
+  val MaxShingleDf = 100
+
+  /** n-gram Jaccard near-dup pairs: explode shingles, df-prune hot shingles
+    * (df > [[MaxShingleDf]]), self-join on shingle, count intersection,
+    * jaccard = |∩| / (|A|+|B|-|∩|) with per-doc counts over ALL distinct
+    * shingles (so the pruned jaccard is a lower bound of the exact one).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
+    // df filter shares the self-join's shuffle key (shingle), so Catalyst
+    // reuses the exchange; the surviving keys are fan-out-bounded
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("shingle")
+    val pruned = sh.join(keep, "shingle")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     val pairs = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -77,8 +95,10 @@ object DedupOps {
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
               FROM toks),
        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+       pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
        SELECT doc_a, doc_b, inter,
               CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
@@ -205,30 +225,119 @@ object DedupOps {
        ORDER BY cosine DESC, ia, ib LIMIT 50"""
 
   /** SimHash: 60-bit signature; bit i set when the sum over tokens (with
-    * multiplicity) of ±1 on bit i of H(token) is positive.
+    * multiplicity) of ±1 on bit i of H(token) is positive. Single-pass: the
+    * ±1 sum per bit equals 2·(count of tokens with bit i set) − n_tokens,
+    * so one hash aggregate computes n plus 60 bit-count sums — one shuffle
+    * keyed on doc_id, no 60×-row bit explode (the per-row fan-out of the
+    * previous formulation would multiply shuffle bytes by 60 at any scale).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", tokHash(col("tok")))
-    toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr("CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END"))
-        .cast("long").as("simhash"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 60).map(i => sum(expr(s"CAST((h >> $i) & 1 AS BIGINT)")).as(s"c$i"))
+    val sig = (0 until 60).map { i =>
+      when(lit(2L) * col(s"c$i") - col("n") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), sig.cast("long").as("simhash"))
       .orderBy("doc_id")
   }
 
-  def simhashSql: String =
+  def simhashSql: String = {
+    val cs = (0 until 60).map(i => s"sum((h >> $i) & 1) AS c$i").mkString(", ")
+    val sig = (0 until 60)
+      .map(i => s"CASE WHEN 2*c$i - n > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
     s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        hs AS (SELECT doc_id, ${tokHashSql("tok")} AS h FROM tk),
-       bits AS (SELECT doc_id, b.bit,
-                sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
-                FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
-                GROUP BY doc_id, b.bit)
-       SELECT doc_id,
-              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-       FROM bits GROUP BY doc_id ORDER BY doc_id"""
+       ag AS (SELECT doc_id, count(*) AS n, $cs FROM hs GROUP BY doc_id)
+       SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       FROM ag ORDER BY doc_id"""
+  }
+
+  /** d7 — the 100 TB embedding near-dup: LSH candidate generation inside
+    * random-hyperplane buckets (the same splitmix64 hyperplane family as
+    * [[VectorOps.lshBuckets]]), exact-cosine rescore, global top-50. Unlike
+    * [[embedNearDup]]'s all-pairs BroadcastNestedLoopJoin, candidates meet
+    * ONLY inside a (table, bucket) equi-join key — the join fan-out per key
+    * is bucket_size², tuned by [[NearDupBits]] (≈ log2(n / target bucket
+    * size) at production scale). [[NearDupTables]] independent tables give
+    * recall; (bits=2, tables=12) yields 100% recall of the exact top-50 on
+    * the synthetic corpus (verified against [[embedNearDup]] in DedupSpec —
+    * the vectors have weak similarity structure, cosine ≤ 0.52, so honest
+    * full recall needs wide tables here; with real near-dups, cosine ≥ 0.9,
+    * the same table count supports 16+ bits and the candidate set collapses).
+    */
+  val NearDupBits = 2
+  val NearDupTables = 12
+
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    // (vec_id, table, bucket) index rows: T tables × b sign bits per vector
+    val tableStructs = array((0 until NearDupTables).map { t =>
+      val bkt = (0 until NearDupBits).map { j =>
+        val pl = VectorOps.hyperplane(t * NearDupBits + j, 64)
+        when(dot(col("embedding"), array(pl.map(lit): _*)) > 0.0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }: _*)
+    val bk = e.select(col("vec_id"), explode(tableStructs).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // candidates: id-only equi-join inside (table, bucket); dedupe pairs
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+    // exact-cosine rescore: rejoin the embeddings by id (hash joins — at
+    // scale these shuffle ids+vectors once, never the pair space)
+    val ea = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(ea, "ia").join(eb, "ib")
+      .select(col("ia"), col("ib"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(desc("cosine"), col("ia"), col("ib"))
+      .limit(50)
+  }
+
+  /** Hyperplane rows as DuckDB VALUES literals — Double.toString emits the
+    * shortest round-trip decimal, which DuckDB's correctly-rounded parser
+    * maps back to the identical double, so bucket signs are bit-equal.
+    */
+  private def planeSqlValues: String =
+    (0 until NearDupTables).flatMap { t =>
+      (0 until NearDupBits).map { j =>
+        val arr = VectorOps.hyperplane(t * NearDupBits + j, 64)
+          .map(_.toString).mkString("[", ", ", "]")
+        s"($t, $j, $arr::DOUBLE[])"
+      }
+    }.mkString(",\n         ")
+
+  def lshNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+              sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+            FROM embeddings),
+       planes(tbl, bit, p) AS (VALUES
+         $planeSqlValues),
+       bk AS (SELECT e.vec_id, pl.tbl,
+              CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.emb, pl.p),
+                                 z -> z[1] * z[2])) > 0.0
+                       THEN (1 << pl.bit) ELSE 0 END) AS INT) AS bkt
+              FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+       cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                FROM bk a JOIN bk b
+                  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       SELECT ia, ib,
+         list_sum(list_transform(list_zip(ea.emb, eb.emb), z -> z[1] * z[2]))
+           / (ea.nrm * eb.nrm) AS cosine
+       FROM cand JOIN e ea ON cand.ia = ea.vec_id JOIN e eb ON cand.ib = eb.vec_id
+       ORDER BY cosine DESC, ia, ib LIMIT 50"""
 }

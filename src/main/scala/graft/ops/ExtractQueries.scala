@@ -97,19 +97,24 @@ object ExtractQueries {
 
   /** A6 per-field extraction accuracy vs ground truth
     * (`evaluate_invoices.py:154-206`), sorted by accuracy desc (O2).
+    * Ground-truth field labels arrive in DI-vendor spelling and are
+    * canonicalized through [[graft.parse.DiNameMap]]
+    * (`azure_di_extractor.py:95-122`) at plan-build time — constant-folded,
+    * so the executors see only the normalized literals.
     */
   def fieldAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.parse.DiNameMap.normalize
     val rf = ruleFields(spark, dir)
       .join(spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("string").as("doc_id"),
           col("n_chars").cast("string").as("nc")), "doc_id")
     rf.selectExpr("doc_id",
-      """stack(5,
-         'invoice_number', invoice_number, concat('INV-', doc_id),
-         'total_amount',   total_amount,   concat(nc, '.5'),
-         'date_value',     date_value,     '12/15/2024',
-         'email',          email,          concat('user', doc_id, '@example.com'),
-         'phone_number',   phone_number,   '(555) 123-4567'
+      s"""stack(5,
+         '${normalize("InvoiceNumber")}', invoice_number, concat('INV-', doc_id),
+         '${normalize("AmountDue")}',     total_amount,   concat(nc, '.5'),
+         '${normalize("Date_Value")}',    date_value,     '12/15/2024',
+         '${normalize("Email")}',         email,          concat('user', doc_id, '@example.com'),
+         '${normalize("Phone_Number")}',  phone_number,   '(555) 123-4567'
        ) AS (field, got, want)""")
       .groupBy(col("field"))
       .agg(count(lit(1)).as("present_in_gt"),
@@ -133,7 +138,7 @@ object ExtractQueries {
            ('phone_number',   rf.phone_number,   '(555) 123-4567')
          ) AS v(field, got, want))
        SELECT field, count(*) AS present_in_gt,
-         sum(CASE WHEN got = want THEN 1 ELSE 0 END) AS correctly_extracted,
+         CAST(sum(CASE WHEN got = want THEN 1 ELSE 0 END) AS BIGINT) AS correctly_extracted,
          CAST(sum(CASE WHEN got = want THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
        FROM ev GROUP BY field ORDER BY accuracy DESC, field"""
 
@@ -161,7 +166,10 @@ object ExtractQueries {
         when(col("email") === concat(lit("user"), col("doc_id"), lit("@example.com")), 1).otherwise(0) +
         when(col("phone_number") === "(555) 123-4567", 1).otherwise(0)).as("n_exact"))
       .select(col("doc_id"), col("n_parsed"), col("n_gt"), col("n_exact"),
-        (col("n_exact").cast("double") / col("n_parsed")).as("p"),
+        // reference guards total_parsed_fields > 0 (evaluate_invoices.py:108):
+        // a doc with zero parsed fields scores 0.0, not NaN
+        when(col("n_parsed") > 0,
+          col("n_exact").cast("double") / col("n_parsed")).otherwise(0.0).as("p"),
         (col("n_exact").cast("double") / col("n_gt")).as("r"))
       .withColumn("f1",
         when(col("p") + col("r") > 0.0,
@@ -192,7 +200,7 @@ object ExtractQueries {
             CASE WHEN phone_number = '(555) 123-4567' THEN 1 ELSE 0 END) AS n_exact
          FROM rf JOIN documents d ON rf.doc_id = CAST(d.doc_id AS VARCHAR)),
        m AS (SELECT doc_id,
-               CAST(n_exact AS DOUBLE) / n_parsed AS p,
+               CASE WHEN n_parsed > 0 THEN CAST(n_exact AS DOUBLE) / n_parsed ELSE 0.0 END AS p,
                CAST(n_exact AS DOUBLE) / n_gt AS r
              FROM pd)
        SELECT count(*) AS n_docs, round(avg(p), 9) AS precision, round(avg(r), 9) AS recall,
@@ -229,21 +237,61 @@ object ExtractQueries {
       .orderBy(desc("n_docs"), col("signature_id"))
   }
 
-  /** A4 usage-tracker snapshot (`usage_tracker.py:25-141`) — the
-    * deterministic analog: distributed metrics aggregation instead of a
-    * lock-guarded global counter; model/DI calls are 0 by construction
-    * (north rule), cost model constants × sums.
+  /** Unit prices of the reference cost model (`usage_tracker.py:44-46`,
+    * env-overridable there; fixed constants here for determinism).
     */
+  final case class CostModel(
+      llmInputPer1k: Double = 0.0015,
+      llmOutputPer1k: Double = 0.0020,
+      diPerPage: Double = 0.01)
+
+  /** A4 usage-tracker snapshot (`usage_tracker.py:92-141`) — the
+    * deterministic analog: a distributed hash aggregate over per-doc rows
+    * instead of a lock-guarded global counter. The snapshot computes the
+    * REFERENCE FORMULA (averages with the documents>0 guard, ai_doc_ratio
+    * from min(llm+di, docs), cost = unit prices × token/page sums, all
+    * rounded as the reference rounds). Rows must carry per-doc counters
+    * (`parse_us`, `n_kvs`, `llm_calls`, `di_calls`, `input_tokens`,
+    * `output_tokens`, `di_pages`); the pipeline's AI counters are 0 by
+    * construction (north rule) but flow through the live formula —
+    * UsageSpec feeds nonzero fixtures and checks hand-computed costs.
+    */
+  def usageSnapshotFrom(perDoc: DataFrame, prices: CostModel = CostModel()): DataFrame = {
+    val docs = count(lit(1))
+    val secs = sum(col("parse_us")).cast("double") / 1e6
+    val llmCalls = sum(col("llm_calls"))
+    val diCalls = sum(col("di_calls"))
+    val inTok = sum(col("input_tokens"))
+    val outTok = sum(col("output_tokens"))
+    val diPages = sum(col("di_pages"))
+    val guard = (v: org.apache.spark.sql.Column) =>
+      when(docs > 0, v).otherwise(0.0)
+    val llmCost = (inTok.cast("double") / 1000.0) * prices.llmInputPer1k +
+      (outTok.cast("double") / 1000.0) * prices.llmOutputPer1k
+    val diCost = diPages.cast("double") * prices.diPerPage
+    perDoc.agg(
+      docs.as("documents_processed"),
+      llmCalls.as("llm_calls"),
+      diCalls.as("di_calls"),
+      sum(col("n_kvs")).as("rule_field_hits"),
+      inTok.as("input_tokens"),
+      outTok.as("output_tokens"),
+      diPages.as("di_pages_processed"),
+      round(secs, 2).as("total_processing_seconds"),
+      round(guard(secs / docs), 2).as("avg_processing_seconds"),
+      round(guard(sum(col("n_kvs")).cast("double") / docs), 1).as("avg_rule_fields_per_doc"),
+      round(guard(least(llmCalls + diCalls, docs).cast("double") / docs), 2).as("ai_doc_ratio"),
+      round(llmCost, 4).as("llm_cost"),
+      round(diCost, 4).as("di_cost"),
+      round(llmCost + diCost, 4).as("total_cost"))
+  }
+
   def usageSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val e = ExtractJob.extract(spark, docsFromDocuments(spark, dir))
-    e.agg(
-      count(lit(1)).as("documents_processed"),
-      sum(col("n_kvs")).as("rule_hits"),
-      sum(col("page_count")).as("pages"),
-      avg(col("rule_coverage")).as("avg_rule_coverage"),
-      lit(0L).as("llm_calls"),
-      lit(0L).as("di_calls"),
-      lit(0.0).as("total_cost_usd"))
+    val e = ExtractJob.extract(spark, docsFromDocuments(spark, dir)).toDF()
+      .withColumn("llm_calls", lit(0L)).withColumn("di_calls", lit(0L))
+      .withColumn("input_tokens", lit(0L)).withColumn("output_tokens", lit(0L))
+      .withColumn("di_pages", lit(0L))
+    usageSnapshotFrom(e)
   }
 
   /** Rows-only: Boilerpipe-style block classification (R1 stage ii) over

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import graft.model.InputDoc
 
 /** Storage seam for the extraction pipeline (SURVEY §7.1 step 6, §7.3 R7).
@@ -34,6 +34,24 @@ trait DocStore {
   def rollbackUncommitted(spark: SparkSession, table: String): Unit
 
   def appendMetrics(metrics: DataFrame, table: String): Unit
+
+  /** Idempotent metrics publish keyed on the resume unit (bucket/file_id):
+    * partitioned by the unit column with dynamic overwrite, so a unit
+    * replayed after a crash-between-metrics-and-markers REPLACES its
+    * metrics rows instead of double-counting an append — lineage sums stay
+    * exact across any number of restarts.
+    */
+  def writeUnitMetrics(metrics: DataFrame, table: String, unit: String): Unit
+
+  /** Retention delete (P5, reference `storage.py:177-203` cleanup): remove
+    * all result rows matching `predicate`, returning how many were removed.
+    * Only buckets that contain matching rows are rewritten; the manifest is
+    * untouched — a committed bucket stays committed (its content merely
+    * shrinks, possibly to zero), so a subsequent resume run remains a no-op
+    * and deleted documents are never resurrected. On Iceberg this is
+    * `DELETE FROM results WHERE ...` — a copy-on-write snapshot commit.
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long
 }
 
 /** Parquet stand-in: `table` is a directory root holding
@@ -103,4 +121,50 @@ object ParquetDocStore extends DocStore {
 
   override def appendMetrics(metrics: DataFrame, table: String): Unit =
     metrics.write.mode(SaveMode.Append).parquet(s"$table/metrics")
+
+  override def writeUnitMetrics(metrics: DataFrame, table: String, unit: String): Unit = {
+    val spark = metrics.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      metrics.write.mode(SaveMode.Overwrite)
+        .partitionBy(unit)
+        .parquet(s"$table/metrics")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Parquet stand-in for `DELETE FROM results WHERE predicate`: survivors
+    * of the affected buckets are rewritten through a staging dir, then the
+    * bucket partitions are swapped in (per-bucket rename — crash-consistent
+    * per bucket; Iceberg's snapshot commit makes the whole delete atomic).
+    * Writing to a staging path also sidesteps the overwrite-while-reading
+    * restriction of path-based sources.
+    */
+  override def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val results = readResults(spark, table)
+    val affected = results.filter(predicate)
+      .groupBy(col("bucket")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    val deleted = affected.values.sum
+    val survivors = results
+      .filter(col("bucket").isin(affected.keys.toSeq: _*) && !predicate)
+    val f = fs(spark, table)
+    val staging = new Path(s"$table/_retention_staging")
+    f.delete(staging, true)
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(staging.toString)
+    val resultsDir = new Path(s"$table/results")
+    affected.keys.foreach { b =>
+      f.delete(new Path(resultsDir, s"bucket=$b"), true)
+      val src = new Path(staging, s"bucket=$b")
+      if (f.exists(src)) f.rename(src, new Path(resultsDir, s"bucket=$b"))
+    }
+    f.delete(staging, true)
+    deleted
+  }
 }

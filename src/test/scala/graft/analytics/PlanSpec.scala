@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
       "aggregate not inside WholeStageCodegen:\n" + finalPlan)
   }
 
+  test("p1 point lookup: key predicate pushed to the scan (row-group pruning at scale)") {
+    val p = physical(RelationalOps.p1DocLookup(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(doc_id,42)"),
+      s"point-lookup key not pushed:\n$p")
+  }
+
   test("semi/anti joins plan as such (resume protocol shape)") {
     assert(physical(RelationalOps.q10AntiJoin(spark, sfDir)).contains("LeftAnti"))
     assert(physical(RelationalOps.q11SemiJoin(spark, sfDir)).contains("LeftSemi"))

@@ -1,0 +1,71 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.corpus.CorpusGen
+import graft.parse.DocParser
+import graft.sources.ParquetDocStore
+import java.nio.file.Files
+
+/** Retention delete (P5, `storage.py:177-203` analog): deleteWhere removes
+  * exactly the matching rows, leaves every surviving row byte-identical,
+  * keeps the commit manifest consistent (no bucket reprocessing, no
+  * resurrection of deleted docs on a subsequent resume run).
+  */
+class DocStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("docstore-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hashes(out: String): Map[String, String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$out/results")
+      .select("doc_id", "spans").as[(String, Seq[graft.model.OutSpan])]
+      .collect().map { case (d, s) => d -> DocParser.spanHash(s) }.toMap
+  }
+
+  test("deleteWhere drops matching rows, keeps manifest + survivors intact") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_docstore_").toString
+    val in = s"$base/docs"
+    spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(ResumableExtract.run(spark, in, out) == 200L)
+    val before = hashes(out)
+    val manifestBefore = ResumableExtract.completedBuckets(spark, out)
+
+    // victims: every doc of one whole bucket (exercises the empty-partition
+    // path) plus a handful from other buckets
+    val all = spark.read.parquet(s"$out/results")
+      .select("doc_id", "bucket").as[(String, Int)].collect()
+    val fullBucket = all.groupBy(_._2).maxBy(_._2.length)._1
+    val victims = (all.filter(_._2 == fullBucket).map(_._1) ++
+      all.filter(_._2 != fullBucket).take(5).map(_._1)).toSet
+    assert(victims.nonEmpty && victims.size < 200)
+
+    val deleted = ParquetDocStore.deleteWhere(
+      spark, out, col("doc_id").isin(victims.toSeq: _*))
+    assert(deleted == victims.size.toLong)
+
+    val after = hashes(out)
+    assert(after.keySet == before.keySet -- victims, "wrong rows removed")
+    assert(after == before.view.filterKeys(!victims(_)).toMap,
+      "a surviving row changed")
+
+    // manifest untouched: buckets stay committed, resume is still a no-op,
+    // deleted docs are NOT resurrected
+    assert(ResumableExtract.completedBuckets(spark, out) == manifestBefore)
+    assert(ResumableExtract.run(spark, in, out) == 0L)
+    assert(hashes(out).keySet == before.keySet -- victims)
+
+    // deleting nothing is a no-op
+    assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
+    assert(hashes(out) == after)
+  }
+}

@@ -63,5 +63,64 @@ class FileResumeSpec extends AnyFunSuite {
     // idempotent third run
     assert(FileResumableExtract.run(spark, in, outB) == 0L)
     assert(FileResumableExtract.completedFileIds(spark, outB).size == 8)
+
+    // lineage is exact across restarts (per-file metrics, no double count)
+    val docsIn = spark.read.parquet(s"$outB/metrics")
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(docsIn == 400L, s"metrics double-counted: $docsIn")
+  }
+
+  test("input basenames needing URI encoding (space, %) keep marker and output ids consistent") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fresume_enc_").toString
+    val stage = s"$base/stage"
+    spark.range(0, 50, 1, 1).map(i => CorpusGen.gen(i))
+      .coalesce(1).write.parquet(stage)
+    val in = new java.io.File(s"$base/docs"); in.mkdirs()
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // basename with a space and a literal % — input_file_name() URL-encodes
+    // these; fileIdFromUri must decode back to the raw name
+    val tricky = new java.io.File(in, "docs part%1 final.parquet")
+    Files.move(part.toPath, tricky.toPath)
+
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in.toString, out) == 50L)
+    val expectedId = FileResumableExtract.fileId("docs part%1 final.parquet")
+    assert(FileResumableExtract.completedFileIds(spark, out) == Set(expectedId))
+    assert(new java.io.File(s"$out/results/file_id=$expectedId").exists(),
+      "output partition id diverged from the marker id")
+
+    // the regression: a rerun must be a no-op — NOT rollback-delete the
+    // committed output while the marker blocks reprocessing (silent loss)
+    assert(FileResumableExtract.run(spark, in.toString, out) == 0L)
+    assert(hashes(out).size == 50)
+  }
+
+  test("metrics replay after a crash between metrics write and marker commit does not double-count") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fresume_crash_").toString
+    val in = s"$base/docs"
+    spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 200L)
+
+    // simulate: one file's marker lost AFTER its metrics/output were
+    // written (crash between unitMetrics publish and marker create)
+    val files = FileResumableExtract.inputFiles(spark, in)
+    val lostId = FileResumableExtract.fileId(
+      new org.apache.hadoop.fs.Path(files.head).getName)
+    assert(new java.io.File(s"$out/_manifest/file_$lostId.done").delete())
+
+    // restart: rolls back + replays that file, metrics partition is
+    // OVERWRITTEN (idempotent), not appended
+    val n = FileResumableExtract.run(spark, in, out)
+    assert(n > 0)
+    val docsIn = spark.read.parquet(s"$out/metrics")
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(docsIn == 200L, s"metrics double-counted after replay: $docsIn")
+    assert(hashes(out).size == 200)
   }
 }

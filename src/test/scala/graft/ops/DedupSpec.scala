@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** d7 (LSH-bucketed embedding near-dup) must return exactly d6's exact
+  * all-pairs top-50 on the test data — full recall of the brute-force
+  * result — while planning as equi-joins (no BroadcastNestedLoopJoin /
+  * CartesianProduct; asserted here next to the equality so the two gates
+  * travel together).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("dedup-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("d7 lshNearDup == d6 embedNearDup top-50 (bucketed candidates, exact rescore)") {
+    spark.sparkContext.setLogLevel("WARN")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(DedupOps.embedNearDup(spark, sfDir))
+    val lsh = rows(DedupOps.lshNearDup(spark, sfDir))
+    assert(exact.size == 50 && lsh.size == 50)
+    assert(exact.map(t => (t._1, t._2)) == lsh.map(t => (t._1, t._2)),
+      "LSH candidate generation missed a true top-50 pair")
+    exact.zip(lsh).foreach { case ((_, _, ce), (_, _, cl)) =>
+      assert(math.abs(ce - cl) < 1e-12, s"cosine drift: $ce vs $cl")
+    }
+  }
+
+  test("d7 plans as equi-joins: no all-pairs join anywhere") {
+    val plan = DedupOps.lshNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"d7 fell back to an all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d7 fell back to a cartesian product:\n$plan")
+  }
+
+  test("d5 simhash is a single-pass aggregate (one hash exchange, no bit explode)") {
+    val plan = DedupOps.simhash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+}
