@@ -60,6 +60,7 @@ object SparkEntry {
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
+    "v4_lsh_ann_topk" -> (VectorOps.lshAnnTopK _),
     "v3_cluster_stats" -> (VectorOps.clusterStats _),
     // text analysis
     "t1_langid" -> (TextOps.langId _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
+    "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,

@@ -264,14 +264,16 @@ object DedupOps {
     * ONLY inside a (table, bucket) equi-join key — the join fan-out per key
     * is bucket_size², tuned by [[NearDupBits]] (≈ log2(n / target bucket
     * size) at production scale). [[NearDupTables]] independent tables give
-    * recall; (bits=2, tables=12) yields 100% recall of the exact top-50 on
-    * the synthetic corpus (verified against [[embedNearDup]] in DedupSpec —
-    * the vectors have weak similarity structure, cosine ≤ 0.52, so honest
-    * full recall needs wide tables here; with real near-dups, cosine ≥ 0.9,
-    * the same table count supports 16+ bits and the candidate set collapses).
+    * recall; (bits=2, tables=20) yields 100% recall of the exact top-50
+    * pairs AND of v1's top-20 query probe on every test SF (verified
+    * against [[embedNearDup]]/[[VectorOps.annTopK]] in DedupSpec/VectorSpec
+    * — the synthetic vectors have weak similarity structure, cosine ≤ 0.52,
+    * so honest full recall needs wide tables here; with real near-dups,
+    * cosine ≥ 0.9, the same table count supports 16+ bits and the candidate
+    * set collapses).
     */
   val NearDupBits = 2
-  val NearDupTables = 12
+  val NearDupTables = 20
 
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val dot = (a: Column, b: Column) =>
@@ -281,16 +283,8 @@ object DedupOps {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     // (vec_id, table, bucket) index rows: T tables × b sign bits per vector
-    val tableStructs = array((0 until NearDupTables).map { t =>
-      val bkt = (0 until NearDupBits).map { j =>
-        val pl = VectorOps.hyperplane(t * NearDupBits + j, 64)
-        when(dot(col("embedding"), array(pl.map(lit): _*)) > 0.0, lit(1 << j))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bkt.as("bkt"))
-    }: _*)
-    val bk = e.select(col("vec_id"), explode(tableStructs).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // (shared with v4's query-time probe — one index, two operators)
+    val bk = VectorOps.bucketIndex(e, NearDupBits, NearDupTables)
     // candidates: id-only equi-join inside (table, bucket); dedupe pairs
     val cand = bk.as("a").join(bk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -312,7 +306,7 @@ object DedupOps {
     * shortest round-trip decimal, which DuckDB's correctly-rounded parser
     * maps back to the identical double, so bucket signs are bit-equal.
     */
-  private def planeSqlValues: String =
+  private[ops] def planeSqlValues: String =
     (0 until NearDupTables).flatMap { t =>
       (0 until NearDupBits).map { j =>
         val arr = VectorOps.hyperplane(t * NearDupBits + j, 64)

@@ -81,6 +81,74 @@ object VectorOps {
       .orderBy("bucket")
   }
 
+  /** The (vec_id, tbl, bkt) LSH index rows shared by the bucketed ANN
+    * operators (d7 near-dup in [[DedupOps.lshNearDup]], v4 top-k below):
+    * `tables` independent hash tables of `bits` hyperplane sign bits each,
+    * planes drawn from [[hyperplane]] with plane index `tbl*bits + bit`.
+    * At production scale `bits` grows with log2(n / target bucket size);
+    * the index is a linear scan to build and shuffles ids only.
+    */
+  private[ops] def bucketIndex(e: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val tableStructs = array((0 until tables).map { t =>
+      val bkt = (0 until bits).map { j =>
+        val pl = hyperplane(t * bits + j, 64)
+        when(dot(col("embedding"), array(pl.map(lit): _*)) > 0.0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }: _*)
+    e.select(col("vec_id"), explode(tableStructs).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** v4 — bucketed ANN top-k: probe the query vector's bucket in each hash
+    * table (a broadcast of `tables` (tbl,bkt) keys), union the bucket
+    * members as candidates, rescore exact cosine, top-20. Same output
+    * columns and — on the test data — the same rows as the brute-force v1
+    * (VectorSpec), but the scan touches only bucket members: at 100 TB the
+    * probe is a broadcast-hash semi-join against the precomputed index,
+    * never a full-corpus cross join. Shares [[DedupOps.NearDupBits]]/
+    * [[DedupOps.NearDupTables]] with d7 — one index serves both near-dup
+    * and query-time search.
+    */
+  def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bk = bucketIndex(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
+    val qb = bk.filter(col("vec_id") === 0)
+      .select(col("tbl").as("qtbl"), col("bkt").as("qbkt"))
+    val cand = bk.join(broadcast(qb),
+        col("tbl") === col("qtbl") && col("bkt") === col("qbkt"), "left_semi")
+      .select(col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    cand.join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q_embedding")) /
+          (norm(col("embedding")) * norm(col("q_embedding")))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(20)
+  }
+
+  def lshAnnTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       planes(tbl, bit, p) AS (VALUES
+         ${DedupOps.planeSqlValues}),
+       bk AS (SELECT e.vec_id, pl.tbl,
+              CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.emb, pl.p),
+                                 z -> z[1] * z[2])) > 0.0
+                       THEN (1 << pl.bit) ELSE 0 END) AS INT) AS bkt
+              FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+       qb AS (SELECT tbl, bkt FROM bk WHERE vec_id = 0),
+       cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (tbl, bkt)),
+       q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+       SELECT e.vec_id, e.label,
+         list_sum(list_transform(list_zip(e.emb, q.qe), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(e.emb, x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> x*x)))) AS cosine
+       FROM cand JOIN e ON cand.vec_id = e.vec_id CROSS JOIN q
+       ORDER BY cosine DESC, e.vec_id LIMIT 20"""
+
   /** Per-label centroids + mean intra-cluster distance (IVF coarse shape).
     * Centroid sums go through exact DECIMAL so the per-dimension means are
     * deterministic under any partitioning.

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** v4 (bucketed ANN top-k) must return exactly v1's brute-force top-20 on
+  * the test data — the LSH probe loses no true neighbor — and its candidate
+  * probe must plan as an equi-join (the only nested-loop join allowed is
+  * attaching the broadcast 1-row query vector, which v1 shares).
+  */
+class VectorSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("vector-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("v4 lshAnnTopK == v1 annTopK top-20 (full recall through the probe)") {
+    spark.sparkContext.setLogLevel("WARN")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val exact = rows(VectorOps.annTopK(spark, sfDir))
+    val lsh = rows(VectorOps.lshAnnTopK(spark, sfDir))
+    assert(exact.size == 20 && lsh.size == 20)
+    assert(exact.map(t => (t._1, t._2)) == lsh.map(t => (t._1, t._2)),
+      "LSH probe missed a true top-20 neighbor")
+    exact.zip(lsh).foreach { case ((_, _, ce), (_, _, cl)) =>
+      assert(math.abs(ce - cl) < 1e-12, s"cosine drift: $ce vs $cl")
+    }
+  }
+
+  test("v4 candidate generation is an equi-join (only the 1-row query attach may nest)") {
+    val plan = VectorOps.lshAnnTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"expected at most the query-vector attach as BNLJ:\n$plan")
+  }
+}
