@@ -78,31 +78,46 @@ object ScalingBench {
       // manifest on a FRESH output dir each time (uncached input — the
       // scan is part of the job, as in production)
       var fsRun = 0
-      def fileSinkOnce(): Double = {
+      val phases = scala.collection.mutable.Map[String, Double]()
+      def fileSinkOnce(record: Boolean): Double = {
         fsRun += 1
         val out = s"/tmp/graft_scaling_fs_$cpus/run$fsRun"
         // fresh dir: a leftover manifest would make resume (correctly) no-op
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val t0 = System.nanoTime()
-        graft.jobs.FileResumableExtract.run(spark, corpus, out)
+        graft.jobs.FileResumableExtract.run(spark, corpus, out,
+          timings = if (record) Some(phases) else None)
         (System.nanoTime() - t0) / 1e9
       }
-      fileSinkOnce() // warmup
-      val fsTimes = (1 to math.max(1, iters - 1)).map(_ => fileSinkOnce())
+      fileSinkOnce(record = false) // warmup
+      val fsIters = math.max(1, iters - 1)
+      val fsTimes = (1 to fsIters).map(_ => fileSinkOnce(record = true))
 
       val pSec = median(parseTimes)
       val sSec = median(sinkTimes)
       val fSec = median(fsTimes)
-      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,"iters":$iters,"corpus":"$corpus"}""")
+      // phase breakdown (mean secs/run): where does the complete job spend
+      // its wall time — the distributed write, or the driver-side
+      // metrics-read / manifest-commit bookkeeping that a single shared VM
+      // serializes but a real cluster scales?
+      val br = Seq("rollback", "write", "metrics", "commit")
+        .map(k => f""""${k}_sec":${phases.getOrElse(k, 0.0) / fsIters}%.3f""")
+        .mkString(",")
+      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"iters":$iters,"corpus":"$corpus"}""")
       spark.stop()
-      (cpus, nDocs / pSec, nDocs / sSec, nDocs / fSec)
+      (cpus, nDocs / pSec, nDocs / sSec, nDocs / fSec,
+        phases.getOrElse("write", 0.0) / fsIters)
     }
 
     if (perLevel.length == 2) {
-      val (c1, p1, s1, f1) = perLevel(0)
-      val (c2, p2, s2, f2) = perLevel(1)
+      val (c1, p1, s1, f1, w1) = perLevel(0)
+      val (c2, p2, s2, f2, w2) = perLevel(1)
       val ratio = c2.toDouble / c1
-      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f,"filesink_eff":${(f2 / f1) / ratio}%.3f}""")
+      // writeonly_eff: the distributed read→parse→write phase alone —
+      // isolates the scaling of the DATA PATH from the constant-time
+      // driver bookkeeping (metrics read-back, marker commit)
+      val wEff = if (w1 > 0 && w2 > 0) (w1 / w2) / ratio else 0.0
+      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f,"filesink_eff":${(f2 / f1) / ratio}%.3f,"filesink_writeonly_eff":$wEff%.3f}""")
     }
   }
 }

@@ -89,16 +89,27 @@ object FileResumableExtract {
       }
   }
 
-  /** One (re)start. Returns docs processed by THIS invocation. */
+  /** One (re)start. Returns docs processed by THIS invocation.
+    * `timings`, when supplied, receives per-phase wall seconds
+    * (rollback / write / metrics / commit) for scaling diagnosis.
+    */
   def run(
       spark: SparkSession,
       inPath: String,
       outPath: String,
       table: Seq[CanonicalSignature] = SignatureTable.Default,
-      onlyFiles: Option[Set[String]] = None): Long = {
+      onlyFiles: Option[Set[String]] = None,
+      timings: Option[scala.collection.mutable.Map[String, Double]] = None): Long = {
     import spark.implicits._
+    def timed[A](phase: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings.foreach(m => m(phase) = m.getOrElse(phase, 0.0) +
+        (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val done = completedFileIds(spark, outPath)
-    rollbackUncommitted(spark, outPath)
+    timed("rollback")(rollbackUncommitted(spark, outPath))
     val pending = inputFiles(spark, inPath)
       .filter { p =>
         val id = fileId(new Path(p).getName)
@@ -141,9 +152,11 @@ object FileResumableExtract {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      results.write.mode(SaveMode.Overwrite)
-        .partitionBy("file_id")
-        .parquet(s"$outPath/results")
+      timed("write") {
+        results.write.mode(SaveMode.Overwrite)
+          .partitionBy("file_id")
+          .parquet(s"$outPath/results")
+      }
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -153,23 +166,27 @@ object FileResumableExtract {
     // overwrite: a file replayed after a crash between this write and its
     // marker REPLACES its metrics rows — lineage sums never double-count.
     // The read-back prunes to scalar metric columns (no span decode).
-    val written = spark.read.parquet(s"$outPath/results")
-      .filter(!col("file_id").isin(done.toSeq: _*))
-    val prevM = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      ExtractJob.unitMetrics(written, "file_id")
-        .write.mode(SaveMode.Overwrite).partitionBy("file_id")
-        .parquet(s"$outPath/metrics")
-    finally prevM match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    timed("metrics") {
+      val written = spark.read.parquet(s"$outPath/results")
+        .filter(!col("file_id").isin(done.toSeq: _*))
+      val prevM = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        ExtractJob.unitMetrics(written, "file_id")
+          .write.mode(SaveMode.Overwrite).partitionBy("file_id")
+          .parquet(s"$outPath/metrics")
+      finally prevM match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
-    val f = fs(spark, outPath)
-    f.mkdirs(manifestDir(outPath))
-    pending.foreach { p =>
-      f.create(new Path(manifestDir(outPath),
-        s"file_${fileId(new Path(p).getName)}.done"), true).close()
+    timed("commit") {
+      val f = fs(spark, outPath)
+      f.mkdirs(manifestDir(outPath))
+      pending.foreach { p =>
+        f.create(new Path(manifestDir(outPath),
+          s"file_${fileId(new Path(p).getName)}.done"), true).close()
+      }
     }
     val (ok, err) = ExtractJob.okErr(obs)
     ok + err
