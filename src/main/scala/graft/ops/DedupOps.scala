@@ -59,25 +59,38 @@ object DedupOps {
     */
   val MaxShingleDf = 100
 
-  /** n-gram Jaccard near-dup pairs: explode shingles, df-prune hot shingles
-    * (df > [[MaxShingleDf]]), self-join on shingle, count intersection,
-    * jaccard = |∩| / (|A|+|B|-|∩|) with per-doc counts over ALL distinct
-    * shingles (so the pruned jaccard is a lower bound of the exact one).
+  /** n-gram Jaccard near-dup pairs via posting lists: group the exploded
+    * shingles once (ONE shuffle on the shingle key), df-prune hot shingles
+    * (df > [[MaxShingleDf]]), and generate candidate pairs by exploding
+    * each surviving posting list's ordered combinations — the classic
+    * inverted-index shape. Versus a shingle self-join this halves the
+    * shuffled bytes and removes the per-key hash-table build; the df bound
+    * caps any posting list's pair fan-out at df·(df-1)/2 ≤ ~5k regardless
+    * of corpus size. jaccard = |∩| / (|A|+|B|-|∩|) with per-doc counts over
+    * ALL distinct shingles (the pruned jaccard is a lower bound of exact).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // df filter shares the self-join's shuffle key (shingle), so Catalyst
-    // reuses the exchange; the surviving keys are fan-out-bounded
-    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("shingle")
-    val pruned = sh.join(keep, "shingle")
-    val a = pruned.as("a")
-    val b = pruned.as("b")
-    val pairs = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val shArrays = shingles(spark, dir)
+    // per-doc distinct-shingle count straight off the array — no explode,
+    // no shuffle (the old groupBy(doc_id) re-aggregated the exploded rows)
+    val counts = shArrays.select(col("doc_id"), size(col("shingles")).as("n"))
+    // shuffle the 60-bit token hash (the d3/d4 hash family), not the ~25-byte
+    // shingle string: at corpus scale the posting shuffle's bytes are the
+    // whole cost of this operator, and per-posting hash collisions are
+    // ~|shingles|²/2^61 — nil here, negligible-and-identical in both
+    // engines (the oracle hashes the same way)
+    val sh = shArrays
+      .select(col("doc_id"),
+        explode(transform(col("shingles"), s => tokHash(s))).as("h"))
+    val postings = sh.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxShingleDf))
+    // ordered pairs (a < b) from each posting list, then count per pair
+    val pairs = postings
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs")) - i - 1),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -95,10 +108,11 @@ object DedupOps {
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
               FROM toks),
        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-       pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+       hs AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS h FROM sh),
+       keep AS (SELECT h FROM hs GROUP BY 1 HAVING count(*) <= 100),
+       pr AS (SELECT hs.doc_id, hs.h FROM hs JOIN keep USING (h)),
        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
        SELECT doc_a, doc_b, inter,
               CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
