@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumns}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over numeric array columns — the one hot
+  * path where the built-in surface genuinely can't keep up: the
+  * higher-order-function formulation `aggregate(zip_with(a, b, (x,y) ->
+  * x*y), 0.0, +)` is evaluated per element through lambda-variable
+  * plumbing and allocates an intermediate product array per row, which
+  * dominates every vector query (v1/v3/v4, d6/d7) once pair counts grow.
+  * This expression emits a tight fused loop in whole-stage codegen
+  * (`doGenCode`) and a matching interpreted path.
+  *
+  * Semantics are EXACTLY the HOF formulation the DuckDB oracles mirror
+  * (`list_sum(list_transform(list_zip(a,b), p -> p[1]*p[2]))`): sequential
+  * left-to-right double summation starting at 0.0, each element pair
+  * widened to double before multiplying — bit-identical results, so every
+  * oracle stays exact. Inputs are equal-length non-null-element arrays of
+  * float or double (embeddings and hyperplanes; enforced upstream by
+  * schema), like the reference data model (SURVEY §1.3).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      def getter(v: String, dt: DataType) = dt match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (${getter(x, elemType(left))}) * (${getter(y, elemType(right))});
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column form: sequential-sum dot product (see [[DotProduct]]). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumns.column(
+      DotProduct(GraftColumns.expression(a), GraftColumns.expression(b)))
+}

@@ -212,9 +212,7 @@ object DedupOps {
     * left-to-right double sums in both engines (bit-exact oracle).
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    val dot = VectorOps.dot _
     // norms once per VECTOR (n of them), not once per PAIR (n²/2): the
     // pair join then does a single dot product per candidate
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -290,9 +288,7 @@ object DedupOps {
   val NearDupTables = 20
 
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    val dot = VectorOps.dot _
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))

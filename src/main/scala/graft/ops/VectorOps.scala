@@ -20,10 +20,12 @@ object VectorOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Sequential double dot product of two float array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential double dot product — the native codegen'd expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation the DuckDB oracles mirror.
+    */
+  private[ops] def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -33,6 +33,27 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("native DotProduct == HOF aggregate(zip_with) formulation, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.0f), Array(0.1, 0.2, 0.3)),
+      (Array(0.0f, 1e-7f, -4.5f), Array(7.0, -0.033, 2.5)))
+      .toDF("fa", "da")
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      graft.functions.VectorExprs.dotProduct(col("fa"), col("da")).as("native"),
+      hof(col("fa"), col("da")).as("hof"),
+      graft.functions.VectorExprs.dotProduct(col("fa"), col("fa")).as("native_ff"),
+      hof(col("fa"), col("fa")).as("hof_ff")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit equality, no tolerance
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("v4 candidate generation is an equi-join (only the 1-row query attach may nest)") {
     val plan = VectorOps.lshAnnTopK(spark, sfDir)
       .queryExecution.executedPlan.toString
