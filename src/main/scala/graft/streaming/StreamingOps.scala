@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the extraction stream (SURVEY §2.8 — the
+  * reference has no streaming; these are the engine's incremental
+  * counterparts of the batch metrics/dedup operators, built on Structured
+  * Streaming's bounded-state primitives).
+  *
+  * Scale notes: both operators keep per-key state BOUNDED — the windowed
+  * aggregation drops closed-window state once the watermark passes, and
+  * the stateful dedup expires per-hash state on an event-time timeout.
+  * Unbounded state is the one thing a 100 TB/day stream cannot afford.
+  */
+object StreamingOps {
+
+  /** A parsed doc's identity + event time, as the dedup operator sees it. */
+  final case class DocSeen(content_hash: String, doc_id: String,
+      ingest_ts: java.sql.Timestamp)
+
+  /** Per-window ingest metrics with a watermark: counts/spans/errors per
+    * (event-time window, file_type). Late rows beyond `lateness` are
+    * dropped and closed windows are emitted exactly once (Append mode) —
+    * the streaming analog of the batch `unitMetrics` lineage rows.
+    */
+  def windowedIngestMetrics(
+      parsed: DataFrame,
+      eventTimeCol: String = "ingest_ts",
+      windowLen: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    parsed
+      .withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowLen), col("file_type"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_spans")).as("spans"),
+        sum(when(col("error") =!= "", 1L).otherwise(0L)).as("errors"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("file_type"), col("docs"), col("spans"), col("errors"))
+
+  /** Exact streaming dedup, first-seen-wins, keyed on content hash —
+    * `flatMapGroupsWithState` with event-time timeout (the custom-state
+    * primitive): a hash's first document is emitted, later copies are
+    * swallowed, and the per-hash state expires `ttl` past the watermark so
+    * total state is bounded by the distinct hashes inside the lateness
+    * horizon (a copy arriving after expiry re-emits — the standard
+    * bounded-state tradeoff, same contract as dropDuplicatesWithinWatermark).
+    * Within a micro-batch the winner is deterministic: min (ingest_ts,
+    * doc_id).
+    */
+  def firstSeenDedup(
+      docs: Dataset[DocSeen],
+      lateness: String = "2 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[DocSeen] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ingest_ts", lateness)
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, DocSeen](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[DocSeen], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val maxTs = batch.map(_.ingest_ts.getTime).max
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(1L)
+              Iterator.single(batch.minBy(d => (d.ingest_ts.getTime, d.doc_id)))
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Watermark/window and stateful-dedup semantics, driven through the file
+  * source in two waves (same checkpoint): wave 2 carries a row later than
+  * the watermark established by wave 1 — it must be dropped by the windowed
+  * aggregation; the stateful dedup must emit each content hash exactly once
+  * across waves.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed ingest metrics: per-window counts, late row beyond watermark dropped") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sops_").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+
+    def runWave(rows: Seq[(Timestamp, String, Int, String)], wave: Int): Unit = {
+      rows.toDF("ingest_ts", "file_type", "n_spans", "error")
+        .write.parquet(s"$in/wave=$wave")
+      val q = spark.readStream
+        .schema("ingest_ts timestamp, file_type string, n_spans int, error string")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$in/*")
+        .transform(df => StreamingOps.windowedIngestMetrics(df, lateness = "1 minute"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("parquet")
+        .option("path", s"$out/metrics")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
+
+    // wave 1: two docs in the 10:00 window, one at 10:05; the watermark a
+    // batch sees comes from the PREVIOUS batch's max event time − lateness
+    runWave(Seq(
+      (ts("2026-01-01 10:00:10"), "html", 5, ""),
+      (ts("2026-01-01 10:00:20"), "html", 3, "boom"),
+      (ts("2026-01-01 10:05:00"), "text", 2, "")), 1)
+    // wave 2 runs under watermark 10:04 → the 10:00 window finalizes WITHOUT
+    // the late 10:00:30 row (it is beyond the 1-minute lateness and dropped)
+    runWave(Seq(
+      (ts("2026-01-01 10:00:30"), "html", 100, ""),
+      (ts("2026-01-01 10:08:00"), "text", 1, "")), 2)
+    // wave 3 runs under watermark 10:07 → the 10:05 window finalizes
+    runWave(Seq(
+      (ts("2026-01-01 10:30:00"), "text", 1, "")), 3)
+
+    val m = spark.read.parquet(s"$out/metrics")
+      .select("window_start", "file_type", "docs", "spans", "errors")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+    assert(m.contains((ts("2026-01-01 10:00:00"), "html", 2L, 8L, 1L)),
+      s"10:00 window must hold exactly the two on-time docs (late row dropped): $m")
+    assert(m.contains((ts("2026-01-01 10:05:00"), "text", 1L, 2L, 0L)), m.toString)
+  }
+
+  test("firstSeenDedup: one emission per content hash across micro-batches, state keyed+timed out") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdedup_").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+
+    def runWave(rows: Seq[StreamingOps.DocSeen], wave: Int): Unit = {
+      rows.toDF().write.parquet(s"$in/wave=$wave")
+      val q = spark.readStream
+        .schema("content_hash string, doc_id string, ingest_ts timestamp")
+        .parquet(s"$in/*")
+        .as[StreamingOps.DocSeen]
+        .transform(ds => StreamingOps.firstSeenDedup(ds))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("parquet")
+        .option("path", s"$out/deduped")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
+
+    runWave(Seq(
+      StreamingOps.DocSeen("hX", "docA", ts("2026-01-01 10:00:00")),
+      StreamingOps.DocSeen("hX", "docA2", ts("2026-01-01 10:00:05")), // in-batch dup
+      StreamingOps.DocSeen("hY", "docB", ts("2026-01-01 10:00:10"))), 1)
+    runWave(Seq(
+      StreamingOps.DocSeen("hX", "docC", ts("2026-01-01 10:01:00")), // cross-batch dup
+      StreamingOps.DocSeen("hZ", "docD", ts("2026-01-01 10:01:30"))), 2)
+
+    val got = spark.read.parquet(s"$out/deduped")
+      .as[StreamingOps.DocSeen].collect().map(d => d.content_hash -> d.doc_id).toSet
+    assert(got == Set("hX" -> "docA", "hY" -> "docB", "hZ" -> "docD"),
+      s"expected first-seen winners only, got $got")
+  }
+}
