@@ -60,7 +60,11 @@ object Bench {
     // in round 1 — also persist the line to a file it can read directly.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Path.of(benchFile), json + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        // a silently-stale BENCH.json would be read as this run's result
+        System.err.println(s"WARNING: could not write $benchFile: $e")
+    }
     spark.stop()
   }
 }

@@ -20,9 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (`list_sum(list_transform(list_zip(a,b), p -> p[1]*p[2]))`): sequential
   * left-to-right double summation starting at 0.0, each element pair
   * widened to double before multiplying — bit-identical results, so every
-  * oracle stays exact. Inputs are equal-length non-null-element arrays of
-  * float or double (embeddings and hyperplanes; enforced upstream by
-  * schema), like the reference data model (SURVEY §1.3).
+  * oracle stays exact. Null handling also matches the HOF form: unequal
+  * lengths (zip_with pads with null) or any null element poison the sum →
+  * result NULL, never a silently-wrong finite number.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,15 +43,19 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with pads with null → NULL
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null poisons the sum
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -70,12 +74,17 @@ case class DotProduct(left: Expression, right: Expression)
         case _ => s"$v.getDouble($i)"
       }
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (${getter(x, elemType(left))}) * (${getter(y, elemType(right))});
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (${getter(x, elemType(left))}) * (${getter(y, elemType(right))});
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

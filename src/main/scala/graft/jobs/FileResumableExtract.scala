@@ -149,17 +149,12 @@ object FileResumableExtract {
       .select(col("_1.*"), col("_2").as("file_id"))
     val (results, obs) = ExtractJob.observeCounts(results0)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+    graft.sources.DocStore.withDynamicOverwrite(spark) {
       timed("write") {
         results.write.mode(SaveMode.Overwrite)
           .partitionBy("file_id")
           .parquet(s"$outPath/results")
       }
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
 
     // Metrics per commit unit (file_id), published with dynamic partition
@@ -169,15 +164,10 @@ object FileResumableExtract {
     timed("metrics") {
       val written = spark.read.parquet(s"$outPath/results")
         .filter(!col("file_id").isin(done.toSeq: _*))
-      val prevM = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
+      graft.sources.DocStore.withDynamicOverwrite(spark) {
         ExtractJob.unitMetrics(written, "file_id")
           .write.mode(SaveMode.Overwrite).partitionBy("file_id")
           .parquet(s"$outPath/metrics")
-      finally prevM match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
     timed("commit") {

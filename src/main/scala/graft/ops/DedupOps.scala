@@ -76,9 +76,12 @@ object DedupOps {
     val counts = shArrays.select(col("doc_id"), size(col("shingles")).as("n"))
     // shuffle the 60-bit token hash (the d3/d4 hash family), not the ~25-byte
     // shingle string: at corpus scale the posting shuffle's bytes are the
-    // whole cost of this operator, and per-posting hash collisions are
-    // ~|shingles|²/2^61 — nil here, negligible-and-identical in both
-    // engines (the oracle hashes the same way)
+    // whole cost of this operator. The oracle hashes the same way, so a
+    // hash collision (~|shingles|²/2^61 per doc) over-counts a pair's
+    // intersection IDENTICALLY in both engines; the one asymmetry — a
+    // within-doc collision putting the doc twice in a posting list, which
+    // a self-JOIN's a<b can never pair but index-based expansion would —
+    // is closed by the doc_a =!= doc_b guard below
     val sh = shArrays
       .select(col("doc_id"),
         explode(transform(col("shingles"), s => tokHash(s))).as("h"))
@@ -90,6 +93,7 @@ object DedupOps {
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + lit(2), size(col("docs")) - i - 1),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs

@@ -258,12 +258,15 @@ object ExtractQueries {
     */
   def usageSnapshotFrom(perDoc: DataFrame, prices: CostModel = CostModel()): DataFrame = {
     val docs = count(lit(1))
-    val secs = sum(col("parse_us")).cast("double") / 1e6
-    val llmCalls = sum(col("llm_calls"))
-    val diCalls = sum(col("di_calls"))
-    val inTok = sum(col("input_tokens"))
-    val outTok = sum(col("output_tokens"))
-    val diPages = sum(col("di_pages"))
+    // sums coalesced to 0 on zero rows — the reference's counters are
+    // zero-initialized, so an empty snapshot reports 0, never NULL
+    def zsum(c: String) = coalesce(sum(col(c)), lit(0L))
+    val secs = zsum("parse_us").cast("double") / 1e6
+    val llmCalls = zsum("llm_calls")
+    val diCalls = zsum("di_calls")
+    val inTok = zsum("input_tokens")
+    val outTok = zsum("output_tokens")
+    val diPages = zsum("di_pages")
     val guard = (v: org.apache.spark.sql.Column) =>
       when(docs > 0, v).otherwise(0.0)
     val llmCost = (inTok.cast("double") / 1000.0) * prices.llmInputPer1k +
@@ -273,13 +276,13 @@ object ExtractQueries {
       docs.as("documents_processed"),
       llmCalls.as("llm_calls"),
       diCalls.as("di_calls"),
-      sum(col("n_kvs")).as("rule_field_hits"),
+      zsum("n_kvs").as("rule_field_hits"),
       inTok.as("input_tokens"),
       outTok.as("output_tokens"),
       diPages.as("di_pages_processed"),
       round(secs, 2).as("total_processing_seconds"),
       round(guard(secs / docs), 2).as("avg_processing_seconds"),
-      round(guard(sum(col("n_kvs")).cast("double") / docs), 1).as("avg_rule_fields_per_doc"),
+      round(guard(zsum("n_kvs").cast("double") / docs), 1).as("avg_rule_fields_per_doc"),
       round(guard(least(llmCalls + diCalls, docs).cast("double") / docs), 2).as("ai_doc_ratio"),
       round(llmCost, 4).as("llm_cost"),
       round(diCost, 4).as("di_cost"),

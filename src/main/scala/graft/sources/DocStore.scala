@@ -54,6 +54,23 @@ trait DocStore {
   def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long
 }
 
+object DocStore {
+  /** Run `body` with dynamic partition-overwrite mode set, restoring the
+    * previous session setting afterwards — the one place this save/set/
+    * restore dance lives (used by every idempotent partition publish).
+    */
+  def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
 /** Parquet stand-in: `table` is a directory root holding
   * `results/bucket=<b>/`, `_manifest/bucket_<b>.done`, `metrics/`.
   */
@@ -69,19 +86,12 @@ object ParquetDocStore extends DocStore {
     spark.read.parquet(table).as[InputDoc]
   }
 
-  override def writeBuckets(results: DataFrame, table: String): Unit = {
-    val spark = results.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+  override def writeBuckets(results: DataFrame, table: String): Unit =
+    DocStore.withDynamicOverwrite(results.sparkSession) {
       results.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(s"$table/results")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-  }
 
   override def readResults(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$table/results")
@@ -122,37 +132,39 @@ object ParquetDocStore extends DocStore {
   override def appendMetrics(metrics: DataFrame, table: String): Unit =
     metrics.write.mode(SaveMode.Append).parquet(s"$table/metrics")
 
-  override def writeUnitMetrics(metrics: DataFrame, table: String, unit: String): Unit = {
-    val spark = metrics.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+  override def writeUnitMetrics(metrics: DataFrame, table: String, unit: String): Unit =
+    DocStore.withDynamicOverwrite(metrics.sparkSession) {
       metrics.write.mode(SaveMode.Overwrite)
         .partitionBy(unit)
         .parquet(s"$table/metrics")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-  }
 
   /** Parquet stand-in for `DELETE FROM results WHERE predicate`: survivors
     * of the affected buckets are rewritten through a staging dir, then the
-    * bucket partitions are swapped in (per-bucket rename — crash-consistent
-    * per bucket; Iceberg's snapshot commit makes the whole delete atomic).
+    * bucket partitions are swapped in. SQL DELETE semantics: a row whose
+    * predicate evaluates to NULL is KEPT (and not counted).
+    *
+    * Crash window (honest accounting): a kill between a bucket's delete and
+    * its rename leaves that bucket's survivors only in `_retention_staging`
+    * — recoverable by completing the swap by hand, and every rename result
+    * is checked so a failed swap aborts loudly with the staging copy
+    * preserved rather than deleting the only copy. Iceberg's snapshot
+    * commit removes this window entirely (single atomic metadata swap);
+    * this is exactly the class of gap the `DocStore` seam isolates.
     * Writing to a staging path also sidesteps the overwrite-while-reading
     * restriction of path-based sources.
     */
   override def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hit = coalesce(predicate, lit(false)) // NULL predicate = keep (SQL DELETE)
     val results = readResults(spark, table)
-    val affected = results.filter(predicate)
+    val affected = results.filter(hit)
       .groupBy(col("bucket")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return 0L
     val deleted = affected.values.sum
     val survivors = results
-      .filter(col("bucket").isin(affected.keys.toSeq: _*) && !predicate)
+      .filter(col("bucket").isin(affected.keys.toSeq: _*) && !hit)
     val f = fs(spark, table)
     val staging = new Path(s"$table/_retention_staging")
     f.delete(staging, true)
@@ -160,11 +172,15 @@ object ParquetDocStore extends DocStore {
       .parquet(staging.toString)
     val resultsDir = new Path(s"$table/results")
     affected.keys.foreach { b =>
-      f.delete(new Path(resultsDir, s"bucket=$b"), true)
+      val dst = new Path(resultsDir, s"bucket=$b")
+      if (!f.delete(dst, true) && f.exists(dst))
+        throw new java.io.IOException(s"retention: could not remove $dst")
       val src = new Path(staging, s"bucket=$b")
-      if (f.exists(src)) f.rename(src, new Path(resultsDir, s"bucket=$b"))
+      if (f.exists(src) && !f.rename(src, dst))
+        throw new java.io.IOException(
+          s"retention: rename $src -> $dst failed; survivors preserved in staging")
     }
-    f.delete(staging, true)
+    f.delete(staging, true) // only after every swap succeeded
     deleted
   }
 }

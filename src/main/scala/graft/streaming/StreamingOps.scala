@@ -66,13 +66,23 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq
-            val maxTs = batch.map(_.ingest_ts.getTime).max
+            // single pass, O(1) memory: a viral duplicate (one hash with
+            // millions of copies in a batch) must not buffer into a Seq
+            val dup = state.exists
+            var maxTs = Long.MinValue
+            var winner: DocSeen = null
+            rows.foreach { d =>
+              val t = d.ingest_ts.getTime
+              if (t > maxTs) maxTs = t
+              if (!dup && (winner == null || t < winner.ingest_ts.getTime ||
+                  (t == winner.ingest_ts.getTime && d.doc_id < winner.doc_id)))
+                winner = d
+            }
             state.setTimeoutTimestamp(maxTs + ttlMs)
-            if (state.exists) Iterator.empty
+            if (dup || winner == null) Iterator.empty
             else {
               state.update(1L)
-              Iterator.single(batch.minBy(d => (d.ingest_ts.getTime, d.doc_id)))
+              Iterator.single(winner)
             }
           }
       }

@@ -54,8 +54,13 @@ class UsageSpec extends AnyFunSuite {
       .toDF("parse_us", "n_kvs", "llm_calls", "di_calls",
         "input_tokens", "output_tokens", "di_pages")
     val r = ExtractQueries.usageSnapshotFrom(empty).head()
+    // every column must be an actual zero, never NULL (the reference's
+    // counters are zero-initialized)
+    (0 until r.length).foreach(i => assert(!r.isNullAt(i), s"column $i is NULL"))
     assert(r.getAs[Long]("documents_processed") == 0L)
+    assert(r.getAs[Long]("rule_field_hits") == 0L)
     assert(r.getAs[Double]("avg_processing_seconds") == 0.0)
     assert(r.getAs[Double]("ai_doc_ratio") == 0.0)
+    assert(r.getAs[Double]("total_cost") == 0.0)
   }
 }
