@@ -54,6 +54,27 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("native DotProduct == HOF on 200 random float vectors (property sweep, bit-exact)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random floats incl. negatives, tiny and large
+    // magnitudes — a drift anywhere in widen/multiply/sum order would show
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      (Array.fill(n)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)).toFloat),
+        Array.fill(n)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)).toFloat))
+    }.toDF("a", "b")
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val bad = df.select(
+      graft.functions.VectorExprs.dotProduct(col("a"), col("b")).as("n"),
+      hof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0L)
+  }
+
   test("v4 candidate generation is an equi-join (only the 1-row query attach may nest)") {
     val plan = VectorOps.lshAnnTopK(spark, sfDir)
       .queryExecution.executedPlan.toString
