@@ -43,6 +43,20 @@ class DedupSpec extends AnyFunSuite {
       s"d7 fell back to a cartesian product:\n$plan")
   }
 
+  test("d2 posting-list pairs: no self-join, no all-pairs join") {
+    val plan = DedupOps.ngramJaccardPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vector queries run the native DotProduct expression, not the HOF fallback") {
+    val p1 = VectorOps.annTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p1.toLowerCase.contains("dotproduct"), s"v1 lost the native dot:\n$p1")
+    val p2 = DedupOps.lshNearDup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p2.toLowerCase.contains("dotproduct"), "d7 lost the native dot")
+  }
+
   test("d5 simhash is a single-pass aggregate (one hash exchange, no bit explode)") {
     val plan = DedupOps.simhash(spark, sfDir)
       .queryExecution.executedPlan.toString
