@@ -70,6 +70,26 @@ class ResumeSpec extends AnyFunSuite {
     assert(m.agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0) == total)
   }
 
+  test("bucket metrics replay after a lost marker does not double-count lineage") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = tmp()
+    assert(ResumableExtract.run(spark, in, out) == 200L)
+
+    // crash-between-metrics-and-marker simulation: one committed bucket
+    // loses its marker after its metrics were published
+    val done = ResumableExtract.completedBuckets(spark, out)
+    val lost = done.head
+    assert(new java.io.File(s"$out/_manifest/bucket_$lost.done").delete())
+
+    val n = ResumableExtract.run(spark, in, out)
+    assert(n > 0, "the marker-less bucket must be reprocessed")
+    val docsIn = spark.read.parquet(s"$out/metrics")
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(docsIn == 200L, s"bucket metrics double-counted after replay: $docsIn")
+  }
+
   test("all three extract layouts produce identical results (pure per-row core)") {
     import spark.implicits._
     val docs = spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i))
