@@ -25,9 +25,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          // a broken query must never masquerade as a fast one
+          failures += name
+          System.err.println(s"BENCH FAILURE $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -53,8 +60,9 @@ object Bench {
     val qs = allTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allTimings.values.sum
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"failed_queries":$fails,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which broke the driver's JSON parse
     // in round 1 — also persist the line to a file it can read directly.

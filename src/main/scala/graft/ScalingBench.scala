@@ -34,7 +34,13 @@ object ScalingBench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16")
       .split(",").map(_.trim.toInt).toSeq
 
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    // true median: even-length inputs average the middle pair (s(n/2) alone
+    // would systematically pick the SLOWER of two sink runs)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
 
     val perLevel = levels.map { cpus =>
       val spark = SparkSession.builder()

@@ -88,6 +88,23 @@ object ExtractJob {
   def bucketCol: org.apache.spark.sql.Column =
     pmod(crc32(encode(col("doc_id"), "UTF-8")), lit(NumBuckets.toLong)).cast("int")
 
+  /** Parse one doc and assemble its result row — the ONE place the
+    * 21-field row is constructed (the batch extract and the file-granular
+    * job share it; two hand-maintained copies of a 21-argument constructor
+    * would silently transpose same-typed fields on any reordering).
+    */
+  def rowOf(doc: InputDoc, pool: DocParser.Pooled, pid: Int, nb: Int): ExtractedRow = {
+    var bytesIn = 0L
+    doc.spans.foreach(s => bytesIn += s.text.length + s.media_ref.length)
+    val t0 = System.nanoTime()
+    val p: ParsedDoc = DocParser.parse(doc, pool)
+    val us = (System.nanoTime() - t0) / 1000
+    ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length, p.signatureId,
+      p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
+      p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
+      p.nBlocks, p.nBlocksKept, bucketOf(p.docId, nb), pid, bytesIn, us)
+  }
+
   def readDocs(spark: SparkSession, inPath: String): Dataset[InputDoc] = {
     import spark.implicits._
     spark.read.parquet(inPath).as[InputDoc]
@@ -142,20 +159,7 @@ object ExtractJob {
       .mapPartitions { iter =>
         val pool = DocParser.pooled(bc.value) // pooled per-partition state
         val pid = TaskContext.getPartitionId()
-        iter.map { doc =>
-          val bytesIn = {
-            var b = 0L
-            doc.spans.foreach(s => b += s.text.length + s.media_ref.length)
-            b
-          }
-          val t0 = System.nanoTime()
-          val p: ParsedDoc = DocParser.parse(doc, pool)
-          val us = (System.nanoTime() - t0) / 1000
-          ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length, p.signatureId,
-            p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
-            p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
-            p.nBlocks, p.nBlocksKept, bucketOf(p.docId, nb), pid, bytesIn, us)
-        }
+        iter.map(doc => rowOf(doc, pool, pid, nb))
       }
   }
 

@@ -132,18 +132,7 @@ object FileResumableExtract {
         var lastFid: String = null
         iter.map { case (docId, spans, uri) =>
           if (uri != lastUri) { lastUri = uri; lastFid = fileIdFromUri(uri) }
-          val fid = lastFid
-          val t0 = System.nanoTime()
-          val p = DocParser.parse(InputDoc(docId, spans), pool)
-          val us = (System.nanoTime() - t0) / 1000
-          var bytesIn = 0L
-          spans.foreach(s => bytesIn += s.text.length + s.media_ref.length)
-          (ExtractJob.ExtractedRow(p.docId, p.fileType, p.spans, p.spans.length,
-            p.signatureId,
-            p.sigSimilarity, p.sigEvent, p.nSections, p.nKvs, p.nChunks,
-            p.ruleCoverage, p.charCount, p.pageCount, p.contentHash, p.error,
-            p.nBlocks, p.nBlocksKept, ExtractJob.bucketOf(p.docId, nb), pid,
-            bytesIn, us), fid)
+          (ExtractJob.rowOf(InputDoc(docId, spans), pool, pid, nb), lastFid)
         }
       }
       .select(col("_1.*"), col("_2").as("file_id"))

@@ -41,12 +41,18 @@ object DedupOps {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(0))),
+      // a doc with < 3 tokens has NO shingles: guard before sequence(),
+      // because sequence(1, 0) is the DESCENDING array [1, 0] in Spark and
+      // element_at(toks, 3) would throw — short/empty docs are guaranteed
+      // in any real corpus (DuckDB's generate_series(1, 0) is empty, so
+      // the guard also keeps the engines semantically identical)
+      .select(col("doc_id"), when(size(col("toks")) >= 3, array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2),
           i => concat_ws(" ",
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("shingles"))
+            element_at(col("toks"), i + 2)))))
+        .otherwise(array().cast("array<string>")).as("shingles"))
 
   /** Hot-shingle bound for [[ngramJaccardPairs]]: shingles occurring in more
     * than this many documents are dropped before the self-join (classic

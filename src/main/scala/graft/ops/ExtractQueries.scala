@@ -27,10 +27,16 @@ object ExtractQueries {
       .select(col("doc_id"), col("n_sections"), col("n_chunks"))
       .orderBy("doc_id")
 
+  /** DuckDB `trim()` strips only spaces; the engine strips Python-style
+    * whitespace — the oracle trims the explicit ASCII whitespace class so a
+    * paragraph of tabs/newlines counts identically in both engines.
+    */
   def chunkSectionCountsSql: String =
     """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       CAST(len(list_filter(string_split(text, chr(10)||chr(10)), x -> trim(x) != '')) AS INT) AS n_sections,
-       CAST(len(list_filter(string_split(text, chr(10)||chr(10)), x -> trim(x) != '')) AS INT) AS n_chunks
+       CAST(len(list_filter(string_split(text, chr(10)||chr(10)),
+         x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != '')) AS INT) AS n_sections,
+       CAST(len(list_filter(string_split(text, chr(10)||chr(10)),
+         x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != '')) AS INT) AS n_chunks
        FROM documents ORDER BY doc_id"""
 
   /** docs with a deterministic invoice-field preamble prepended — built

@@ -107,7 +107,9 @@ object TextOps {
     val txt = col("text")
     docs(spark, dir).select(
       col("doc_id"),
-      size(split(txt, "\\s+", -1)).cast("int").as("n_ws_tokens"),
+      // explicit ASCII whitespace class: Java \s includes \x0B, RE2's \s
+      // does not — spelling the class keeps both engines identical
+      size(split(txt, "[ \\t\\n\\x0B\\f\\r]+", -1)).cast("int").as("n_ws_tokens"),
       size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
         .cast("int").as("n_bpe_tokens"))
       .orderBy("doc_id")
@@ -115,7 +117,7 @@ object TextOps {
 
   def tokenCountSql: String =
     """SELECT doc_id,
-       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS INT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe_tokens
        FROM documents ORDER BY doc_id"""
 
@@ -125,12 +127,12 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+      md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).cast("binary"))
         .as("fingerprint"))
       .orderBy("doc_id")
 
   def fingerprintSql: String =
     """SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+       md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fingerprint
        FROM documents ORDER BY doc_id"""
 }

@@ -94,10 +94,10 @@ object BlockClassifier {
       words.toDouble / lines, kept = false)
   }
 
+  // the canonical 6-entity table lives in HtmlStrip (order matters there);
+  // block word counts must use the same one
   private def unescape(s: String): String =
-    Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
-      .foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
+    HtmlStrip.Entities.foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
 
   private def segment(html: String): Vector[Block] = {
     val blocks = Vector.newBuilder[Block]

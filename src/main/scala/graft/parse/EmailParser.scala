@@ -36,9 +36,11 @@ object EmailParser {
   def parse(raw: String): Parsed = {
     val (headerLines, body) = splitHeadersBody(raw)
     val allHeaders = parseHeaders(headerLines)
-    // _extract_headers: only the six fields, lowercased keys, first value.
+    // _extract_headers: only the six fields, lowercased keys, first value;
+    // the reference's `if value:` (email_extractor.py:64) drops a header
+    // whose value is empty — 'Subject:\n' contributes nothing.
     val headers = HeaderFields.flatMap { f =>
-      allHeaders.get(f.toLowerCase).map(f.toLowerCase -> _)
+      allHeaders.get(f.toLowerCase).filter(_.nonEmpty).map(f.toLowerCase -> _)
     }.toMap
     val ctype = contentType(allHeaders)
     val multipart = ctype.startsWith("multipart/") &&

@@ -17,7 +17,7 @@ import java.util.regex.Pattern
 object HtmlStrip {
   private val TagRe = Pattern.compile("<[^\n]*?>")
 
-  private val Entities: Seq[(String, String)] = Seq(
+  private[parse] val Entities: Seq[(String, String)] = Seq(
     "&nbsp;" -> " ",
     "&amp;" -> "&",
     "&lt;" -> "<",
