@@ -38,9 +38,11 @@ object EmailParser {
     val allHeaders = parseHeaders(headerLines)
     // _extract_headers: only the six fields, lowercased keys, first value;
     // the reference's `if value:` (email_extractor.py:64) drops a header
-    // whose value is empty — 'Subject:\n' contributes nothing.
+    // whose value is empty — 'Subject:\n' contributes nothing. Non-ASCII
+    // values render through the unknown-8bit Header path (pyHeaderStr).
     val headers = HeaderFields.flatMap { f =>
-      allHeaders.get(f.toLowerCase).filter(_.nonEmpty).map(f.toLowerCase -> _)
+      allHeaders.get(f.toLowerCase).filter(_.nonEmpty)
+        .map(v => f.toLowerCase -> pyHeaderStr(v))
     }.toMap
     val ctype = contentType(allHeaders)
     val multipart = ctype.startsWith("multipart/") &&
@@ -69,8 +71,13 @@ object EmailParser {
     * Line terminators: \r\n or \n (compat32 also accepts bare \r — excluded
     * from corpus scope).
     */
-  private def splitHeadersBody(raw: String): (Seq[String], String) = {
-    val lines = mutable.ArrayBuffer.empty[String]
+  /** Header lines with the terminator that FOLLOWED each line ("\n",
+    * "\r\n", or "" at EOF) — folded continuations must re-embed the raw
+    * terminator verbatim, exactly as Python's compat32 accessor renders
+    * them ('one\r\n two' for CRLF mail; verified live).
+    */
+  private def splitHeadersBody(raw: String): (Seq[(String, String)], String) = {
+    val lines = mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     val n = raw.length
     while (i < n) {
@@ -80,27 +87,71 @@ object EmailParser {
         if (lineEnd > i && raw.charAt(lineEnd - 1) == '\r') lineEnd - 1 else lineEnd
       val line = raw.substring(i, contentEnd)
       if (line.isEmpty) return (lines.toSeq, raw.substring(next))
-      lines += line
+      val term = if (nl < 0) "" else if (contentEnd < lineEnd) "\r\n" else "\n"
+      lines += (line -> term)
       i = next
     }
     (lines.toSeq, "")
   }
 
-  /** Parse header lines: name ':' value(lstripped). First occurrence wins. */
-  private def parseHeaders(lines: Seq[String]): Map[String, String] = {
+  /** Parse header lines: name ':' value(lstripped of spaces/tabs). First
+    * occurrence wins. A line starting with space/tab is a FOLDED
+    * continuation: Python keeps the fold VERBATIM in the value —
+    * previous line's raw terminator + the raw continuation line
+    * ('Subject: a\n b' → value 'a\n b'; verified against the stdlib).
+    */
+  private def parseHeaders(lines: Seq[(String, String)]): Map[String, String] = {
     val m = mutable.LinkedHashMap.empty[String, String]
-    lines.foreach { line =>
-      val colon = line.indexOf(':')
-      if (colon > 0) {
-        val name = line.substring(0, colon).toLowerCase
-        var v = line.substring(colon + 1)
-        var k = 0
-        while (k < v.length && (v.charAt(k) == ' ' || v.charAt(k) == '\t')) k += 1
-        v = v.substring(k)
-        if (!m.contains(name)) m(name) = v
+    var lastStored: String = null // header this line's value landed in
+    var prevTerm: String = "\n"
+    lines.foreach { case (line, term) =>
+      if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
+        // continuation: append to the header whose line directly precedes
+        // (if that line was a dropped duplicate, the fold vanishes with it
+        // — matching first-occurrence-wins)
+        if (lastStored != null) m(lastStored) = m(lastStored) + prevTerm + line
+      } else {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val name = line.substring(0, colon).toLowerCase
+          var v = line.substring(colon + 1)
+          var k = 0
+          while (k < v.length && (v.charAt(k) == ' ' || v.charAt(k) == '\t')) k += 1
+          v = v.substring(k)
+          if (!m.contains(name)) { m(name) = v; lastStored = name }
+          else lastStored = null
+        } else lastStored = null
       }
+      prevTerm = term
     }
     m.toMap
+  }
+
+  /** Python renders a header whose raw value contains non-ASCII bytes as an
+    * unknown-8bit `Header` object: `str()` replaces each non-ASCII BYTE of
+    * the utf-8 encoding with U+FFFD (verified live: '東京都' → 9 '�').
+    * ASCII headers pass through untouched.
+    */
+  private def pyHeaderStr(v: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < v.length) { if (v.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) v
+    else {
+      val sb = new StringBuilder(v.length)
+      i = 0
+      while (i < v.length) {
+        val cp = v.codePointAt(i)
+        val n = Character.charCount(cp)
+        if (cp < 128) sb.append(v.charAt(i))
+        else {
+          val nBytes = new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8).length
+          (0 until nBytes).foreach(_ => sb.append('�'))
+        }
+        i += n
+      }
+      sb.toString
+    }
   }
 
   /** Lowercased maintype/subtype; default text/plain (`get_content_type`). */
@@ -166,8 +217,11 @@ object EmailParser {
       .flatMap(param(_, "charset")).map(_.toLowerCase).getOrElse("utf-8")
     val bytes: Array[Byte] = cte match {
       case "base64" =>
-        val cleaned = body.filterNot(c => PyCompat.isPySpace(c))
-        try java.util.Base64.getDecoder.decode(cleaned)
+        // Python's b64decode(validate=False) DISCARDS non-alphabet chars
+        // then decodes, tolerating a truncated final quantum ('YWJ' → 'ab',
+        // '%%%%' → b''; verified live) — java's MIME decoder has exactly
+        // those semantics, the strict decoder does not
+        try java.util.Base64.getMimeDecoder.decode(body)
         catch { case _: IllegalArgumentException => body.getBytes(StandardCharsets.UTF_8) }
       case "quoted-printable" => decodeQp(body)
       case _ => body.getBytes(StandardCharsets.UTF_8)
