@@ -53,7 +53,7 @@ object FuzzGen {
       "P.O. no: 77-ALPHA"))
   }
 
-  private def textFragment(rng: Rng): String = rng.nextInt(8) match {
+  private def textFragment(rng: Rng): String = rng.nextInt(10) match {
     case 0 => invoiceLine(rng)
     case 1 => sentence(rng)
     case 2 => rng.pick(Vector(" \t ", "   ", "\t", "")) // whitespace-only para
@@ -62,6 +62,14 @@ object FuzzGen {
     case 5 => sentence(rng) + "\r" // stray CR at EOL
     case 6 => (0 until rng.range(2, 4)).map(_ => sentence(rng)).mkString("\n")
     case 7 => rng.pick(UnicodeWords) + " — " + sentence(rng)
+    case 8 => rng.pick(Vector( // Python-only whitespace (str.strip drops,
+      "  ", " ", "\f", "", // Java trim/isWhitespace differ)
+      "  padded  ", s"${word(rng)}${word(rng)}"))
+    case 9 => rng.pick(Vector( // rule-engine near-matches / multi-matches
+      "Invoice Number:", "Total: $", "invoice number : A invoice number: B",
+      "Total: $1.2.3", "Email: not-an-email@", "Phone: 12345",
+      s"Total: $$${rng.range(1, 9)} and Total: $$${rng.range(10, 99)}.99",
+      "INVOICE NUMBER: lower-42", "bill no.: X-1 bill #: Y-2"))
   }
 
   private def textDoc(rng: Rng): String = {
