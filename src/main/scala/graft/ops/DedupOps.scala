@@ -221,20 +221,24 @@ object DedupOps {
     * inside a hyperplane-sign bucket. Dot products are sequential
     * left-to-right double sums in both engines (bit-exact oracle).
     */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupOn(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), 50)
+
+  /** All-pairs exact variant over any (vec_id, embedding) frame. */
+  def embedNearDupOn(e0: DataFrame, topK: Int): DataFrame = {
     val dot = VectorOps.dot _
     // norms once per VECTOR (n of them), not once per PAIR (n²/2): the
     // pair join then does a single dot product per candidate
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val e = e0.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(desc("cosine"), col("ia"), col("ib"))
-      .limit(50)
+      .limit(topK)
   }
 
   def embedNearDupSql: String =
@@ -297,19 +301,35 @@ object DedupOps {
   val NearDupBits = 2
   val NearDupTables = 20
 
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupOn(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      NearDupBits, NearDupTables, 50)
+
+  /** Bucketed variant over any (vec_id, embedding) frame; at production
+    * scale raise `bits` ≈ log2(n / target bucket size) and size `tables`
+    * for the recall the near-dup threshold needs.
+    */
+  def lshNearDupOn(e0: DataFrame, bits: Int, tables: Int, topK: Int): DataFrame = {
     val dot = VectorOps.dot _
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val e = e0.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     // (vec_id, table, bucket) index rows: T tables × b sign bits per vector
     // (shared with v4's query-time probe — one index, two operators)
-    val bk = VectorOps.bucketIndex(e, NearDupBits, NearDupTables)
-    // candidates: id-only equi-join inside (table, bucket); dedupe pairs
-    val cand = bk.as("a").join(bk.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+    val bk = VectorOps.bucketIndex(e, bits, tables)
+    // candidates: posting-list pair expansion per (table, bucket) — ONE
+    // shuffle of the id index (same shape as d2's shingle postings; a
+    // self-join would shuffle the index twice and build hash tables), then
+    // pair dedupe across tables. Bucket sizes are bounded by construction
+    // (bits ≈ log2(n / target bucket size)), so the per-list expansion is
+    // bucket²/2 with a design-bounded bucket.
+    val cand = bk.groupBy(col("tbl"), col("bkt"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .distinct()
     // exact-cosine rescore: rejoin the embeddings by id (hash joins — at
     // scale these shuffle ids+vectors once, never the pair space)
@@ -319,7 +339,7 @@ object DedupOps {
       .select(col("ia"), col("ib"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(desc("cosine"), col("ia"), col("ib"))
-      .limit(50)
+      .limit(topK)
   }
 
   /** Hyperplane rows as DuckDB VALUES literals — Double.toString emits the

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.DedupOps
+
+/** Scale evidence for the embedding near-dup pair (d6 exact all-pairs vs
+  * d7 LSH-bucketed): the driver's `embeddings` table is 500 vectors at
+  * every SF, far too small to show the asymptotics, so this tool generates
+  * n deterministic 64-dim vectors WITH planted near-duplicates (every 10th
+  * vector = previous vector + small noise, cosine ≈ 0.999 — the structure a
+  * real dedup corpus has) and measures both operators as n grows. Exact
+  * all-pairs is O(n²) and stops being runnable quickly; the LSH path's
+  * bits scale with log2(n / target-bucket-size), so its candidate set
+  * tracks the planted duplicates, not the pair space. Recall is reported
+  * against the exact top-k whenever the exact variant still runs.
+  *
+  *   runMain graft.tools.AnnScale [n,n,...]   (default 2000,10000,50000)
+  */
+object AnnScale {
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def u01(x: Long): Double = (x >>> 11) * 1.1102230246251565e-16
+
+  /** Deterministic standard normal via Box-Muller on splitmix streams. */
+  private def gauss(seed: Long): Double = {
+    val u1 = math.max(u01(splitmix(seed)), 1e-12)
+    val u2 = u01(splitmix(seed + 0x7fb5d329728ea185L))
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  def baseVec(i: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(d => gauss(i * 131071L + d * 524287L).toFloat)
+
+  /** Every 10th vector is a near-duplicate of its predecessor. */
+  def vec(i: Long, dim: Int): Array[Float] =
+    if (i % 10 == 0 && i > 0) {
+      val p = baseVec(i - 1, dim)
+      Array.tabulate(dim)(d =>
+        (p(d) + 0.05 * gauss(i * 999983L + d * 104729L)).toFloat)
+    } else baseVec(i, dim)
+
+  def main(args: Array[String]): Unit = {
+    val ns = args.headOption.getOrElse("2000,10000,50000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ExactCap = sys.env.getOrElse("GRAFT_ANN_EXACT_CAP", "60000").toInt
+    val TopK = 50
+    ns.foreach { n =>
+      val e: DataFrame = spark.range(0, n, 1, 32)
+        .map(i => (i, vec(i, 64))).toDF("vec_id", "embedding").cache()
+      e.count()
+      val target = sys.env.getOrElse("GRAFT_ANN_BUCKET", "64").toInt
+      val bits = math.max(2, math.ceil(math.log(n.toDouble / target) / math.log(2)).toInt)
+      val tables = 8
+
+      def pairs(df: DataFrame): (Set[(Long, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (rows, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val (lshPairs, lshSec) = pairs(DedupOps.lshNearDupOn(e, bits, tables, TopK))
+      val (exactPairs, exactSec) =
+        if (n <= ExactCap) pairs(DedupOps.embedNearDupOn(e, TopK))
+        else (Set.empty[(Long, Long)], -1.0)
+      val recall =
+        if (exactPairs.nonEmpty) (lshPairs & exactPairs).size.toDouble / exactPairs.size
+        else -1.0
+      println(f"""{"bench":"ann_scale","n":$n,"bits":$bits,"tables":$tables,"lsh_sec":$lshSec%.2f,"exact_sec":$exactSec%.2f,"recall_vs_exact":$recall%.3f,"pairs_space":${n.toLong * (n - 1) / 2}}""")
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}
