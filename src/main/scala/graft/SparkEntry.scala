@@ -30,6 +30,7 @@ object SparkEntry {
     "x5_block_classify" -> (ExtractQueries.blockClassify _),
     "a3_signature_stats" -> (ExtractQueries.signatureStats _),
     "a4_usage_snapshot" -> (ExtractQueries.usageSnapshot _),
+    "a5_rules_stats" -> (ExtractQueries.rulesStats _),
     "a6_field_accuracy" -> (ExtractQueries.fieldAccuracy _),
     "a7_eval_prf" -> (ExtractQueries.evalPrf _),
     // relational / repository analytics

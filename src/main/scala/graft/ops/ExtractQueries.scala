@@ -327,6 +327,20 @@ object ExtractQueries {
       .orderBy("doc_id")
   }
 
+  /** A5 rules statistics (`rules_engine.py:147-153`): counts over the
+    * broadcast rule/signature tables — a one-row constant projection (the
+    * Spark analog of the reference's in-memory dict; rows-only, the tables
+    * are engine constants rather than driver data).
+    */
+  def rulesStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.parse.{RulesEngine, SignatureTable}
+    Seq((RulesEngine.GlobalRules.size.toLong,
+      SignatureTable.Default.count(_.overrideRules.nonEmpty).toLong,
+      RulesEngine.GlobalRules.count(_.required).toLong))
+      .toDF("total_rules", "signature_rule_sets", "global_required_fields")
+  }
+
   /** Rows-only: exploded canonical span sequence. */
   def extractSpans(spark: SparkSession, dir: String): DataFrame =
     ExtractJob.extract(spark, docsFromDocuments(spark, dir))
