@@ -21,7 +21,7 @@ import graft.corpus.CorpusGen.Rng
 object FuzzGen {
 
   val Seed: Long = 0x667a7a5061726974L
-  val NumDocs: Int = 600
+  val NumDocs: Int = 2000
 
   private val UnicodeWords = Vector(
     "naïve", "über", "crème", "東京都", "données", "złoty", "Ωmega", "résumé")
