@@ -70,7 +70,8 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.fingerprint _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
-    "m2_media_decode" -> (MultimodalOps.mediaDecodeStats _))
+    "m2_media_decode" -> (MultimodalOps.mediaDecodeStats _),
+    "m3_frame_sample" -> (MultimodalOps.frameSampleStats _))
 
   def oracleSql: Map[String, String] = Map(
     "x1_chunk_sections" -> ExtractQueries.chunkSectionCountsSql,

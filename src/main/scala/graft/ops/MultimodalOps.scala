@@ -32,7 +32,13 @@ object MultimodalOps {
       byte_len: Int,
       width: Int,
       height: Int,
+      thumb_len: Int,
       features: Seq[Float])
+  final case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_bytes: Int,
+      mean_byte: Double)
 
   /** STUB decoder: a real implementation would wrap a pooled native codec
     * (libjpeg/ffmpeg) here; this deterministic fake derives "dimensions"
@@ -52,6 +58,22 @@ object MultimodalOps {
       }
       (width, height, feats)
     }
+
+    /** STUB resize: stride-sample the payload down to w×h "pixels" — the
+      * real thing is a pooled libjpeg/swscale call; the plumbing (bytes in,
+      * smaller bytes out, per-partition reuse) is what's exercised.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, w * h)
+      if (payload.length <= target) payload
+      else {
+        val out = new Array[Byte](target)
+        val stride = payload.length.toDouble / target
+        var i = 0
+        while (i < target) { out(i) = payload((i * stride).toInt); i += 1 }
+        out
+      }
+    }
   }
 
   /** Typed decode pass: binary column in, typed features out; one decoder
@@ -63,9 +85,54 @@ object MultimodalOps {
       val decoder = new StubDecoder // pooled per-partition state
       iter.map { m =>
         val (w, h, f) = decoder.decode(m.payload)
-        DecodedMedia(m.doc_id, m.payload.length, w, h, f.toSeq)
+        val thumb = decoder.resize(m.payload, 8, 8)
+        DecodedMedia(m.doc_id, m.payload.length, w, h, thumb.length, f.toSeq)
       }
     }
+  }
+
+  /** Frame-sampling plumbing (the video analog): split the payload into
+    * fixed-size "frames" and emit every `stride`-th one — the 1-row-in /
+    * k-rows-out explode shape a real ffmpeg sampler has, with pooled
+    * per-partition decoder state; the per-frame decode is the stub (mean
+    * byte value).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameSize: Int = 256,
+      stride: Int = 3): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val n = m.payload.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        (0 until nFrames by stride).iterator.map { k =>
+          val from = k * frameSize
+          val until = math.min(n, from + frameSize)
+          var s = 0L
+          var i = from
+          while (i < until) { s += (m.payload(i) & 0xff); i += 1 }
+          Frame(m.doc_id, k, until - from,
+            if (until > from) s.toDouble / (until - from) else 0.0)
+        }
+      }
+    }
+  }
+
+  /** Rows-only driver query: per-doc sampled-frame counts + mean of the
+    * per-frame stub features (deterministic).
+    */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    sampleFrames(media)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(col("frame_bytes")).as("bytes_sampled"),
+        round(avg(col("mean_byte")), 6).as("avg_frame_mean"))
+      .orderBy("doc_id")
   }
 
   /** Rows-only driver query: documents → binary payloads → stubbed decode →
