@@ -75,7 +75,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "x1_chunk_sections" -> ExtractQueries.chunkSectionCountsSql,
+    "x2_extract_full" -> ExtractQueries.extractFullSql,
+    "x3_extract_spans" -> ExtractQueries.extractSpansSql,
     "x4_rule_fields" -> ExtractQueries.ruleFieldsSql,
+    "x5_block_classify" -> ExtractQueries.blockClassifySql,
+    "a5_rules_stats" -> ExtractQueries.rulesStatsSql,
     "a6_field_accuracy" -> ExtractQueries.fieldAccuracySql,
     "a7_eval_prf" -> ExtractQueries.evalPrfSql,
     "q1_pricing_summary" -> RelationalOps.q1Sql,
@@ -102,10 +106,13 @@ object SparkEntry {
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
+    "v2_lsh_buckets" -> VectorOps.lshBucketsSql,
+    "v3_cluster_stats" -> VectorOps.clusterStatsSql,
     "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
-    "m1_media_features" -> MultimodalOps.mediaFeaturesSql)
+    "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
+    "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)
 }

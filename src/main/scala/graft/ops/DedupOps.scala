@@ -176,19 +176,31 @@ object DedupOps {
 
   /** LSH banding over the MinHash signature (4 bands × 2 rows): docs
     * sharing a band bucket are near-dup candidates. The scale path: the
-    * candidate join happens per-bucket, never across the full corpus.
+    * candidate pairing happens per-bucket, never across the full corpus.
+    *
+    * Same posting-list shape as d2/d7 ([[ngramJaccardPairs]],
+    * [[lshNearDupOn]]): the 4 band keys per doc come from ONE evaluation of
+    * the minhash aggregate (an in-row array explode — the former
+    * union-of-selects + self-join re-evaluated the shingle explode + minhash
+    * aggregate once per band branch AND per join side, 8× total, correct
+    * only as fast as ReuseExchange deduplicated it), then ONE shuffle on
+    * (band, key) groups each bucket's members, and ordered pairs expand
+    * from the grouped list — no join, no second shuffle of the index.
     */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhash(spark, dir)
-    val bands = (0 until 4).map { b =>
-      mh.select(col("doc_id"), lit(b).as("band"),
+    val bandKeys = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
-    }.reduce(_ unionAll _)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }: _*)
+    mh.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

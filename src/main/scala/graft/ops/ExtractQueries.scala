@@ -93,13 +93,75 @@ object ExtractQueries {
          regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'i') AS phone_number
        FROM t ORDER BY doc_id"""
 
-  /** Rows-only: the full extraction surface on driver data. */
+  /** Oracle-checked: the full extraction surface on driver data — DuckDB
+    * independently recomputes every column, including the signature-table
+    * branch each doc takes: a text doc quantizes to the key (page=1, 'text',
+    * bbox 0/0/1000/1000, word_count), so word count 14 hits the CACHE family
+    * (3 cached kvs, method "cache", rules skipped — G6) and word count 20
+    * hits the OVERRIDE family (global + override rules — F10); anything else
+    * is new_family (global rules only). The signature id/event columns
+    * themselves are engine-hash-valued and are verified by GoldenSpec (a3)
+    * rather than SQL.
+    */
   def extractFull(spark: SparkSession, dir: String): DataFrame =
     ExtractJob.extract(spark, docsFromDocuments(spark, dir))
-      .select(col("doc_id"), col("file_type"), col("signature_id"),
-        col("sig_event"), col("n_kvs"), col("rule_coverage"),
+      .select(col("doc_id"), col("file_type"), col("n_kvs"),
+        col("rule_coverage"), col("char_count"),
         size(col("spans")).as("n_spans"))
       .orderBy("doc_id")
+
+  /** Match-existence CASE for one rule pattern — the engine's Java regexes
+    * are RE2-compatible for these patterns (proven by the x4 value oracle);
+    * only existence matters here, so alternation-preference differences
+    * cannot bite. All capture groups require >= 1 char, so an empty extract
+    * means "no match".
+    */
+  private def kvCaseSql(pattern: String): String =
+    s"CASE WHEN regexp_extract(text, '$pattern', 1, 'i') != '' THEN 1 ELSE 0 END"
+
+  /** Python-whitespace trim class shared by the paragraph oracles. */
+  private val WsTrim =
+    "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+  /** Shared CTE: paragraph count, Python word count, and the per-branch kv
+    * count for every doc. Patterns are taken from the LIVE rule tables
+    * (RulesEngine.GlobalRules + the OVERRIDE family's rules) at SQL-build
+    * time, so a rule edit re-derives the oracle rather than staling it.
+    */
+  private def extractBaseCte: String = {
+    val globalCases = graft.parse.RulesEngine.GlobalRules
+      .map(r => kvCaseSql(r.pattern)).mkString("\n           + ")
+    val overrideCases = graft.parse.SignatureTable.OverrideFamily.overrideRules
+      .map(r => kvCaseSql(r.pattern)).mkString("\n           + ")
+    val nCached = graft.parse.SignatureTable.CacheFamily.cachedFields.size
+    s"""base AS (
+         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(length(text) AS BIGINT) AS char_count,
+           len(list_filter(string_split(text, chr(10)||chr(10)),
+             x -> trim(x, $WsTrim) != '')) AS np,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> x != '')) AS wc,
+           ($globalCases) AS gk,
+           ($overrideCases) AS ovk
+         FROM documents),
+       k AS (
+         SELECT doc_id, char_count, np, wc,
+           CASE WHEN wc = ${graft.parse.SignatureTable.CacheFamilyWordCount}
+                  THEN $nCached
+                WHEN wc = ${graft.parse.SignatureTable.OverrideFamilyWordCount}
+                  THEN gk + ovk
+                ELSE gk END AS n_kvs
+         FROM base)"""
+  }
+
+  def extractFullSql: String =
+    s"""WITH $extractBaseCte
+       SELECT doc_id, 'text' AS file_type, CAST(n_kvs AS INT) AS n_kvs,
+         CASE WHEN wc = ${graft.parse.SignatureTable.CacheFamilyWordCount} THEN 0.0
+              WHEN n_kvs > 0 THEN 1.0 ELSE 0.0 END AS rule_coverage,
+         char_count,
+         CAST(np + n_kvs + np AS INT) AS n_spans
+       FROM k ORDER BY doc_id"""
 
   /** A6 per-field extraction accuracy vs ground truth
     * (`evaluate_invoices.py:154-206`), sorted by accuracy desc (O2).
@@ -341,11 +403,92 @@ object ExtractQueries {
       .toDF("total_rules", "signature_rule_sets", "global_required_fields")
   }
 
-  /** Rows-only: exploded canonical span sequence. */
+  /** Oracle-checked: exploded canonical span sequence. For a text doc the
+    * sequence is fully determined (FIXTURES.md §4): np section spans
+    * (media_ref ""), then n_kvs kv spans (media_ref = the extraction
+    * method: "cache" for CACHE-family docs, else "rule"), then np chunk
+    * spans (media_ref = `{doc_id}_chunk_{i:03d}`) — DuckDB reconstructs the
+    * whole (ord, kind, media_ref) sequence per doc with generate_series.
+    */
   def extractSpans(spark: SparkSession, dir: String): DataFrame =
     ExtractJob.extract(spark, docsFromDocuments(spark, dir))
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .select(col("doc_id"), col("span.order").as("ord"),
         col("span.kind").as("kind"), col("span.media_ref").as("media_ref"))
       .orderBy("doc_id", "ord")
+
+  def extractSpansSql: String =
+    s"""WITH $extractBaseCte,
+       sec AS (SELECT doc_id,
+                 CAST(unnest(generate_series(1, np)) - 1 AS INT) AS ord,
+                 'section' AS kind, '' AS media_ref
+               FROM k),
+       kv AS (SELECT doc_id,
+                CAST(np + unnest(generate_series(1, n_kvs)) - 1 AS INT) AS ord,
+                'kv' AS kind,
+                CASE WHEN wc = ${graft.parse.SignatureTable.CacheFamilyWordCount}
+                     THEN 'cache' ELSE 'rule' END AS media_ref
+              FROM k),
+       ch AS (SELECT doc_id,
+                CAST(np + n_kvs + g - 1 AS INT) AS ord, 'chunk' AS kind,
+                doc_id || '_chunk_' || printf('%03d', g - 1) AS media_ref
+              FROM (SELECT doc_id, np, n_kvs,
+                      unnest(generate_series(1, np)) AS g FROM k))
+       SELECT * FROM (SELECT * FROM sec UNION ALL SELECT * FROM kv
+                      UNION ALL SELECT * FROM ch)
+       ORDER BY doc_id, ord"""
+
+  /** x5's DuckDB oracle: an independent replay of the block segmentation +
+    * NumWordsRulesClassifier decision over the SAME constructed HTML. The
+    * block sequence is nav(3 words, link density 1.0), one block per
+    * `<p>` paragraph (ceil(space_tokens/30) groups of 30 space-joined
+    * tokens, link density 0), footer(2 words, 1.0) — so n_blocks = P + 2
+    * and the decision rule reduces to per-paragraph word-count comparisons
+    * against the fixed-ld neighbours, computed here over the group word
+    * counts (Python-whitespace words: tokens carry embedded `\\n\\n`).
+    */
+  def blockClassifySql: String =
+    """WITH b AS (
+         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id, t, CAST(ceil(t / 30.0) AS INT) AS p,
+           list_transform(generate_series(1, CAST(ceil(t / 30.0) AS INT)), gi ->
+             len(list_filter(
+               regexp_split_to_array(
+                 array_to_string(toks[((gi - 1) * 30 + 1):(least(gi * 30, t))], ' '),
+                 '\s+'), x -> x != ''))) AS gw
+         FROM b),
+       k AS (
+         SELECT doc_id, p,
+           list_sum(list_transform(generate_series(1, p), i ->
+             CASE WHEN gw[i] <= 0 THEN 0
+               WHEN i = 1 THEN
+                 CASE WHEN gw[1] > 40
+                        OR (CASE WHEN p > 1 THEN gw[2] ELSE 2 END) > 17
+                      THEN 1 ELSE 0 END
+               ELSE
+                 CASE WHEN gw[i] > 16
+                        OR (CASE WHEN i < p THEN gw[i + 1] ELSE 2 END) > 15
+                        OR gw[i - 1] > 4
+                      THEN 1 ELSE 0 END
+             END)) AS kept
+         FROM g)
+       SELECT doc_id, CAST(p + 2 AS INT) AS n_blocks,
+         CAST(coalesce(kept, 0) AS INT) AS n_blocks_kept,
+         CAST(p + 2 - coalesce(kept, 0) AS INT) AS n_boilerplate
+       FROM k ORDER BY doc_id"""
+
+  /** a5's oracle: the reference's three rules-statistics counters as HARD
+    * literals (6 global rules of which 2 required — `global_rules.yml`;
+    * 2 of the 3 canonical signature families carry override rule sets) —
+    * intentionally NOT derived from the engine constants, so a rule-table
+    * drift fails the gate instead of re-deriving it away.
+    */
+  def rulesStatsSql: String =
+    """SELECT CAST(6 AS BIGINT) AS total_rules,
+       CAST(2 AS BIGINT) AS signature_rule_sets,
+       CAST(2 AS BIGINT) AS global_required_fields"""
 }

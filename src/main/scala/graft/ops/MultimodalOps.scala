@@ -119,8 +119,13 @@ object MultimodalOps {
     }
   }
 
-  /** Rows-only driver query: per-doc sampled-frame counts + mean of the
-    * per-frame stub features (deterministic).
+  /** Oracle-checked driver query: per-doc sampled-frame counts + sampled
+    * bytes. DuckDB re-derives both from `octet_length` arithmetic (frames
+    * of 256 bytes, every 3rd sampled, short last frame when it falls on a
+    * sampled index) — verifying the 1-row-in/k-out explode shape end to
+    * end. The per-frame decode itself (mean byte value) stays covered by
+    * MultimodalSpec's hand-computed fixture: SQL can't index into blob
+    * bytes portably, and the stub decode is engine-side by design.
     */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -130,10 +135,23 @@ object MultimodalOps {
     sampleFrames(media)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames_sampled"),
-        sum(col("frame_bytes")).as("bytes_sampled"),
-        round(avg(col("mean_byte")), 6).as("avg_frame_mean"))
+        sum(col("frame_bytes")).as("bytes_sampled"))
       .orderBy("doc_id")
   }
+
+  /** Mirrors [[sampleFrames]]' defaults: frameSize=256, stride=3. A doc
+    * samples ceil(nf/3) of its nf=ceil(n/256) frames; the last frame is
+    * short (n mod 256) and is sampled exactly when (nf-1) % 3 = 0.
+    */
+  def frameSampleStatsSql: String =
+    """WITH b AS (SELECT doc_id, octet_length(text::BLOB) AS n,
+           (octet_length(text::BLOB) + 255) // 256 AS nf
+         FROM documents WHERE octet_length(text::BLOB) > 0)
+       SELECT doc_id, CAST((nf + 2) // 3 AS BIGINT) AS n_frames_sampled,
+         CAST(((nf + 2) // 3 - 1) * 256 +
+           CASE WHEN (nf - 1) % 3 = 0 THEN n - 256 * (nf - 1) ELSE 256 END
+           AS BIGINT) AS bytes_sampled
+       FROM b ORDER BY doc_id"""
 
   /** Rows-only driver query: documents → binary payloads → stubbed decode →
     * per-batch feature stats.

@@ -68,8 +68,10 @@ object VectorOps {
   }
 
   /** LSH bucketing: 8 hyperplane sign bits → bucket id; returns bucket
-    * occupancy (the index structure an ANN query would probe). Rows-only
-    * driver check (hyperplane literals are engine-side).
+    * occupancy (the index structure an ANN query would probe). Oracle:
+    * DuckDB recomputes the buckets from the same hyperplane VALUES literals
+    * ([[lshBucketsSql]]) — Double.toString round-trips exactly, so the sign
+    * bits are bit-equal.
     */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val planes = (0 until 8).map(p => hyperplane(p, 64))
@@ -81,6 +83,22 @@ object VectorOps {
       .select(col("vec_id"), bucketBits.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")
+  }
+
+  def lshBucketsSql: String = {
+    val values = (0 until 8).map { i =>
+      val arr = hyperplane(i, 64).map(_.toString).mkString("[", ", ", "]")
+      s"($i, $arr::DOUBLE[])"
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       planes(i, p) AS (VALUES
+         $values),
+       b AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.emb, pl.p),
+                                z -> z[1] * z[2])) > 0.0
+                      THEN (1 << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+             FROM e CROSS JOIN planes pl GROUP BY e.vec_id)
+       SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"""
   }
 
   /** The (vec_id, tbl, bkt) LSH index rows shared by the bucketed ANN
@@ -153,7 +171,13 @@ object VectorOps {
 
   /** Per-label centroids + mean intra-cluster distance (IVF coarse shape).
     * Centroid sums go through exact DECIMAL so the per-dimension means are
-    * deterministic under any partitioning.
+    * deterministic under any partitioning; each vector's distance to its
+    * centroid runs on the native [[graft.functions.DotProduct]] via the
+    * expansion |a−c|² = a·a − 2·a·c + c·c (three fused codegen'd loops, no
+    * per-dimension map lookups, dimensionality taken from the data). The
+    * DuckDB oracle mirrors the identical expansion term-for-term, so the
+    * doubles agree bit-exactly; the mean is rounded to 9 dp on both sides
+    * to erase partition-order summation differences.
     */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -161,18 +185,34 @@ object VectorOps {
     val centroids = byDim.groupBy("label", "dim")
       .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("c"))
     val cvec = centroids.groupBy("label")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("cmap"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("carr"))
     val withC = e.join(broadcast(cvec), "label")
-      .select(col("vec_id"), col("label"),
-        sqrt(aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), lit(63)), i => element_at(col("cmap"), i)),
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, x) => acc + x)).as("dist"))
+      .select(col("label"),
+        sqrt(greatest(
+          dot(col("embedding"), col("embedding"))
+            - lit(2.0) * dot(col("embedding"), col("carr"))
+            + dot(col("carr"), col("carr")),
+          lit(0.0))).as("dist"))
     withC.groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"),
-        (sum(col("dist").cast("decimal(38,15)")).cast("double") / count(lit(1)))
-          .as("mean_dist"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("dist")), 9).as("mean_dist"))
       .orderBy("label")
   }
+
+  def clusterStatsSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       x AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+       cd AS (SELECT label, dim,
+                CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS c
+              FROM x GROUP BY label, dim),
+       cv AS (SELECT label, list(c ORDER BY dim) AS carr FROM cd GROUP BY label),
+       d AS (SELECT e.label,
+               sqrt(greatest(
+                 list_sum(list_transform(e.emb, x -> x * x))
+                 - 2.0 * list_sum(list_transform(list_zip(e.emb, cv.carr),
+                                  z -> z[1] * z[2]))
+                 + list_sum(list_transform(cv.carr, x -> x * x)), 0.0)) AS dist
+             FROM e JOIN cv USING (label))
+       SELECT label, count(*) AS n_vecs, round(avg(dist), 9) AS mean_dist
+       FROM d GROUP BY label ORDER BY label"""
 }

@@ -50,11 +50,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d4 band pairs: no join at all (posting-list expansion, one band shuffle)") {
+    val plan = DedupOps.lshPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"d4 must pair inside grouped band buckets, not via a self-join:\n$plan")
+    // minhash agg + band-bucket agg + distinct = 3 hash exchanges, no more
+    // (the former union-of-selects self-join planned 8 logical evaluations
+    // of the minhash aggregate and leaned on ReuseExchange to dedupe them)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 3, s"expected <=3 hash exchanges in d4 plan:\n$plan")
+  }
+
   test("vector queries run the native DotProduct expression, not the HOF fallback") {
     val p1 = VectorOps.annTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(p1.toLowerCase.contains("dotproduct"), s"v1 lost the native dot:\n$p1")
     val p2 = DedupOps.lshNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(p2.toLowerCase.contains("dotproduct"), "d7 lost the native dot")
+    // v3's distance runs the |a-c|^2 = a.a - 2 a.c + c.c expansion on the
+    // native expression — no interpreted HOF, no sequence(0,63) literal
+    val p3 = VectorOps.clusterStats(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p3.toLowerCase.contains("dotproduct"), s"v3 lost the native dot:\n$p3")
+    assert(!p3.contains("sequence(0, 63"), "v3 still hard-codes 64 dims")
   }
 
   test("d5 simhash is a single-pass aggregate (one hash exchange, no bit explode)") {
