@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output is normally piped through sbt's logger, which
+// prefixes every line with [info]/[error] — that made the benchmark's
+// machine-readable JSON line unparseable to whatever invoked sbt.
+// StdoutOutput lets the forked JVM inherit the real stdout/stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,16 +6,26 @@ import graft.jobs.ExtractJob
 
 /** Per-round benchmark (driver-run → BENCH_r{N}.json; see BASELINE.md).
   *
-  * Times every SparkEntry query on SPARK_GRAFT_SF_DIR, plus the HEADLINE
-  * metric from BASELINE.json: end-to-end extraction throughput over the
-  * deterministic interleaved corpus (median of 3 warm runs). Scaling
-  * efficiency evidence (N vs 4N cores) is produced by graft.ScalingBench
-  * and recorded in BASELINE.md — one JVM per parallelism level.
+  * Times every SparkEntry query on SPARK_GRAFT_SF_DIR — REPS in-process
+  * repetitions each, reporting the per-query MEDIAN (this VM's shared-host
+  * variance is ±10-50% run-to-run; single timings have decided scoreboards
+  * they shouldn't) — plus the HEADLINE metric from BASELINE.json:
+  * end-to-end extraction throughput over the deterministic interleaved
+  * corpus (median of 3 warm runs). Scaling efficiency evidence (N vs 4N
+  * cores) is produced by graft.ScalingBench and recorded in BASELINE.md —
+  * one JVM per parallelism level.
+  *
+  * Output: ONE bare JSON line on the RAW process stdout and stderr
+  * (FileDescriptor.out/err — sbt replaces System.out/err with its
+  * `[info]`-prefixing logger, which made round 1/2 driver artifacts
+  * unparseable; the raw descriptors bypass the redirection), plus a copy
+  * persisted to SPARK_GRAFT_BENCH_FILE.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,17 +35,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          // a broken query must never masquerade as a fast one
-          failures += name
-          System.err.println(s"BENCH FAILURE $name: $e")
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            // a broken query must never masquerade as a fast one — and its
+            // partial wall time must not pollute the headline total either
+            if (!failures.contains(name)) failures += name
+            System.err.println(s"BENCH FAILURE $name: $e")
+            None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
 
     // Headline: extraction docs/sec over the deterministic interleaved
@@ -50,22 +69,24 @@ object Bench {
       ExtractJob.extract(spark, docs).agg(sum(size(col("spans")))).head()
     }
     parseOnce() // warmup
-    val times = (1 to 3).map { _ =>
+    val extractSec = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); parseOnce(); (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val extractSec = times(1)
+    })
     val docsPerSec = nDocs / extractSec
 
     val allTimings = results ++ Map("extract_corpus_60k" -> extractSec)
     val qs = allTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = allTimings.values.sum
+    // failed queries report -1 in `queries` and are EXCLUDED from the total
+    val total = allTimings.values.filter(_ >= 0).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","queries":$qs,"failed_queries":$fails,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed_queries":$fails,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
+    // build.sbt sets `run / outputStrategy := StdoutOutput`, so the forked
+    // JVM inherits the real stdout — this line reaches the sbt caller bare,
+    // with no [info] prefix; a stderr copy covers stdout-discarding callers
     println(json)
-    // sbt prefixes stdout with [info], which broke the driver's JSON parse
-    // in round 1 — also persist the line to a file it can read directly.
+    System.err.println(json)
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Path.of(benchFile), json + "\n")
     catch {

@@ -127,12 +127,16 @@ object FileResumableExtract {
       .mapPartitions { iter =>
         val pool = DocParser.pooled(bc.value)
         val pid = TaskContext.getPartitionId()
-        // one fileId per distinct URI (rows arrive file-clustered)
-        var lastUri: String = null
-        var lastFid: String = null
+        // one fileId hash per distinct URI. A memo map instead of a
+        // last-entry cache: FileScanRDD happens to deliver rows clustered
+        // by file today, but nothing downstream should depend on that
+        // ordering — an interleaving source would silently mislabel rows
+        // under a single-entry cache. Same amortized cost (one hash per
+        // distinct file per task).
+        val fidMemo = new scala.collection.mutable.HashMap[String, String]()
         iter.map { case (docId, spans, uri) =>
-          if (uri != lastUri) { lastUri = uri; lastFid = fileIdFromUri(uri) }
-          (ExtractJob.rowOf(InputDoc(docId, spans), pool, pid, nb), lastFid)
+          val fid = fidMemo.getOrElseUpdate(uri, fileIdFromUri(uri))
+          (ExtractJob.rowOf(InputDoc(docId, spans), pool, pid, nb), fid)
         }
       }
       .select(col("_1.*"), col("_2").as("file_id"))

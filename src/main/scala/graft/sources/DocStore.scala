@@ -145,17 +145,20 @@ object ParquetDocStore extends DocStore {
     * predicate evaluates to NULL is KEPT (and not counted).
     *
     * Crash window (honest accounting): a kill between a bucket's delete and
-    * its rename leaves that bucket's survivors only in `_retention_staging`
-    * — recoverable by completing the swap by hand, and every rename result
-    * is checked so a failed swap aborts loudly with the staging copy
-    * preserved rather than deleting the only copy. Iceberg's snapshot
-    * commit removes this window entirely (single atomic metadata swap);
-    * this is exactly the class of gap the `DocStore` seam isolates.
-    * Writing to a staging path also sidesteps the overwrite-while-reading
-    * restriction of path-based sources.
+    * its rename leaves that bucket's survivors only in `_retention_staging`.
+    * [[recoverRetentionStaging]] runs first on every call and completes or
+    * rolls back such an interrupted swap automatically (the parquet
+    * `_SUCCESS` marker decides the direction), and every rename result is
+    * checked so a failed swap aborts loudly with the staging copy preserved
+    * rather than deleting the only copy. Iceberg's snapshot commit removes
+    * this window entirely (single atomic metadata swap); this is exactly
+    * the class of gap the `DocStore` seam isolates. Writing to a staging
+    * path also sidesteps the overwrite-while-reading restriction of
+    * path-based sources.
     */
   override def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    recoverRetentionStaging(spark, table)
     val hit = coalesce(predicate, lit(false)) // NULL predicate = keep (SQL DELETE)
     val results = readResults(spark, table)
     val affected = results.filter(hit)
@@ -167,7 +170,6 @@ object ParquetDocStore extends DocStore {
       .filter(col("bucket").isin(affected.keys.toSeq: _*) && !hit)
     val f = fs(spark, table)
     val staging = new Path(s"$table/_retention_staging")
-    f.delete(staging, true)
     survivors.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
     val resultsDir = new Path(s"$table/results")
@@ -182,5 +184,39 @@ object ParquetDocStore extends DocStore {
     }
     f.delete(staging, true) // only after every swap succeeded
     deleted
+  }
+
+  /** Automatic crash recovery for an interrupted [[deleteWhere]] swap. The
+    * staging write's `_SUCCESS` marker decides the direction:
+    *
+    *  - marker ABSENT → the survivor rewrite never committed and the
+    *    results dirs were never touched (the swap loop only starts after a
+    *    committed write): ROLL BACK by discarding the partial staging dir;
+    *  - marker PRESENT → the swap was mid-flight: ROLL FORWARD by
+    *    re-applying the swap for every bucket still in staging (buckets
+    *    already swapped were renamed OUT of staging, so this is naturally
+    *    idempotent; a bucket whose results dir was deleted but not yet
+    *    renamed — the data-loss window — gets its only copy moved home).
+    */
+  private def recoverRetentionStaging(spark: SparkSession, table: String): Unit = {
+    val f = fs(spark, table)
+    val staging = new Path(s"$table/_retention_staging")
+    if (!f.exists(staging)) return
+    if (f.exists(new Path(staging, "_SUCCESS"))) {
+      val resultsDir = new Path(s"$table/results")
+      f.listStatus(staging).iterator
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .foreach { st =>
+          val dst = new Path(resultsDir, st.getPath.getName)
+          if (!f.delete(dst, true) && f.exists(dst))
+            throw new java.io.IOException(
+              s"retention recovery: could not remove $dst")
+          if (!f.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"retention recovery: rename ${st.getPath} -> $dst failed; " +
+                "survivors preserved in staging")
+        }
+    }
+    f.delete(staging, true)
   }
 }

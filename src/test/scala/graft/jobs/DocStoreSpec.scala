@@ -68,4 +68,41 @@ class DocStoreSpec extends AnyFunSuite {
     assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
     assert(hashes(out) == after)
   }
+
+  test("interrupted retention swap auto-recovers on the next deleteWhere") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_docstore_rec_").toString
+    val in = s"$base/docs"
+    spark.range(0, 80, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(ResumableExtract.run(spark, in, out) == 80L)
+    val before = hashes(out)
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Simulate a kill in deleteWhere's data-loss window: a bucket's
+    // survivors committed to _retention_staging (with _SUCCESS), the live
+    // results dir for that bucket already deleted, rename not yet done.
+    val bucket = spark.read.parquet(s"$out/results")
+      .select("bucket").as[Int].head()
+    val staging = new Path(s"$out/_retention_staging")
+    val src = new Path(s"$out/results/bucket=$bucket")
+    f.mkdirs(staging)
+    assert(f.rename(src, new Path(staging, s"bucket=$bucket")))
+    f.create(new Path(staging, "_SUCCESS"), true).close()
+
+    // the next deleteWhere call must roll the swap FORWARD before doing
+    // anything else — no rows lost, staging cleared
+    assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
+    assert(!f.exists(staging), "staging dir not cleaned up")
+    assert(hashes(out) == before, "recovery lost or changed rows")
+
+    // and an UNCOMMITTED staging dir (no _SUCCESS: crash mid-write, results
+    // untouched) is rolled back — discarded without touching results
+    f.mkdirs(new Path(staging, s"bucket=$bucket"))
+    assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
+    assert(!f.exists(staging))
+    assert(hashes(out) == before)
+  }
 }

@@ -8,9 +8,10 @@ import graft.parse.DocParser
 import java.nio.file.{Files, Paths}
 
 /** Adversarial parity fuzz (see [[graft.corpus.FuzzGen]]): span-hash
-  * equality vs the executed reference on 600 edge-case documents the main
-  * corpus never produces, plus error-channel routing for the deliberately
-  * invalid ones. Goldens: `python3 tools/gen_goldens.py data/docs/fuzz fuzz`.
+  * equality vs the executed reference on [[FuzzGen.NumDocs]] edge-case
+  * documents the main corpus never produces, plus error-channel routing for
+  * the deliberately invalid ones. Goldens:
+  * `python3 tools/gen_goldens.py data/docs/fuzz fuzz`.
   */
 class FuzzParitySpec extends AnyFunSuite {
 
