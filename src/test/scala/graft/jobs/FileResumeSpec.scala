@@ -107,12 +107,20 @@ class FileResumeSpec extends AnyFunSuite {
     val out = s"$base/out"
     assert(FileResumableExtract.run(spark, in, out) == 200L)
 
-    // simulate: one file's marker lost AFTER its metrics/output were
-    // written (crash between unitMetrics publish and marker create)
+    // simulate: one file's commit lost AFTER its metrics/output were
+    // written (crash between unitMetrics publish and manifest commit) —
+    // rewrite the manifest as legacy loose markers missing that id (also
+    // exercising the loose-marker read path)
     val files = FileResumableExtract.inputFiles(spark, in)
     val lostId = FileResumableExtract.fileId(
       new org.apache.hadoop.fs.Path(files.head).getName)
-    assert(new java.io.File(s"$out/_manifest/file_$lostId.done").delete())
+    val kept = FileResumableExtract.completedFileIds(spark, out) - lostId
+    val mdir = new java.io.File(s"$out/_manifest")
+    mdir.listFiles().foreach(f => assert(f.delete()))
+    kept.foreach { id =>
+      Files.writeString(new java.io.File(mdir, s"file_$id.done").toPath, "")
+    }
+    assert(FileResumableExtract.completedFileIds(spark, out) == kept)
 
     // restart: rolls back + replays that file, metrics partition is
     // OVERWRITTEN (idempotent), not appended
@@ -122,5 +130,49 @@ class FileResumeSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
     assert(docsIn == 200L, s"metrics double-counted after replay: $docsIn")
     assert(hashes(out).size == 200)
+  }
+
+  test("manifest compaction: resume stays exact across roll-up + legacy-marker merges") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fresume_compact_").toString
+    val in = s"$base/docs"
+    spark.range(0, 400, 1, 8).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val files = FileResumableExtract.inputFiles(spark, in)
+    val out = s"$base/out"
+
+    // partial run commits one roll-up for 3 files
+    val firstThree = files.take(3)
+      .map(p => FileResumableExtract.fileId(
+        new org.apache.hadoop.fs.Path(p).getName)).toSet
+    val n1 = FileResumableExtract.run(spark, in, out, onlyFiles = Some(firstThree))
+    assert(FileResumableExtract.completedFileIds(spark, out) == firstThree)
+
+    // age one committed id into a legacy loose marker (mixed manifest)
+    val mdir = new java.io.File(s"$out/_manifest")
+    val aged = firstThree.head
+    Files.writeString(new java.io.File(mdir, s"file_$aged.done").toPath, "")
+    assert(FileResumableExtract.completedFileIds(spark, out) == firstThree)
+
+    // compact mid-history: 1 roll-up + 1 loose marker -> single roll-up
+    FileResumableExtract.compactManifest(spark, out)
+    assert(mdir.listFiles().count(_.getName.endsWith(".manifest")) == 1)
+    assert(!mdir.listFiles().exists(_.getName.endsWith(".done")))
+    assert(FileResumableExtract.completedFileIds(spark, out) == firstThree)
+
+    // resume across the compaction: processes exactly the remainder
+    val n2 = FileResumableExtract.run(spark, in, out)
+    assert(n1 + n2 == 400L, s"$n1 + $n2 != 400")
+    assert(FileResumableExtract.completedFileIds(spark, out).size == 8)
+    assert(hashes(out).size == 400)
+
+    // compact the full history and prove resume is STILL a no-op
+    FileResumableExtract.compactManifest(spark, out)
+    assert(mdir.listFiles().count(_.getName.endsWith(".manifest")) == 1)
+    assert(FileResumableExtract.run(spark, in, out) == 0L)
+    assert(hashes(out).size == 400)
+    // compacting a compacted manifest is a no-op
+    FileResumableExtract.compactManifest(spark, out)
+    assert(mdir.listFiles().count(_.getName.endsWith(".manifest")) == 1)
   }
 }
