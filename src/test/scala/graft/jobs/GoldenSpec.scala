@@ -125,6 +125,47 @@ class GoldenSpec extends AnyFunSuite {
     checkHashes("0.1")
   }
 
+  test("a3 signature stats pinned against executed reference functions (sf0.001)") {
+    // Per-(signature_id, sig_event) doc counts + mean similarity computed
+    // by the REFERENCE's own _generate_tokens/_calculate_jaccard_similarity
+    // (gen_goldens.py, same deterministic table substitution), plus the
+    // get_signature_stats() totals shape (signatures.py:341-354). This pins
+    // the one aggregate surface (a3) whose ids SQL oracles can't derive.
+    val statsJson = "/root/repo/src/test/resources/goldens/sf0.001.sigstats.json"
+    assume(Files.exists(Paths.get(statsJson)) && available,
+      "sigstats goldens not generated")
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(statsJson)))
+    val g = root.get("groups")
+    val expected = (0 until g.size()).map { i =>
+      val n = g.get(i)
+      (n.get("signature_id").asText(), n.get("sig_event").asText(),
+        n.get("n_docs").asLong(), n.get("avg_similarity").asDouble())
+    }.toSet
+
+    val docs = ExtractJob.readDocs(spark, corpusDir)
+    val got = ExtractJob.extract(spark, docs).toDF()
+      .groupBy("signature_id", "sig_event")
+      .agg(count(lit(1)).as("n"), round(avg(col("sig_similarity")), 6).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected,
+      s"sig-stat groups diverge: ours-only=${(got -- expected).take(5)} " +
+        s"ref-only=${(expected -- got).take(5)}")
+
+    // reference get_signature_stats() totals over the same corpus
+    val totalDocs = got.toSeq.map(_._3).sum
+    val distinctSigs = got.map(_._1).size // set of ids
+    assert(totalDocs == root.get("total_documents").asLong())
+    assert(distinctSigs == root.get("total_signatures").asInt())
+    assert(totalDocs.toDouble / distinctSigs ==
+      root.get("avg_documents_per_signature").asDouble())
+  }
+
   test("partition metrics: lineage rows cover all docs") {
     assume(available, "corpus not generated")
     import org.apache.spark.sql.functions._

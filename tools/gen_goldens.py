@@ -177,6 +177,9 @@ def main():
 
         tokens = sm._generate_tokens(elements)
         sid, sim, matched = match_signature(tokens)
+        event = ('new_family' if matched is None
+                 else 'same_version' if sim >= SAME_VERSION
+                 else 'new_version')
 
         if sim >= SAME_VERSION and matched is not None and matched.cached_fields:
             kvs = [(k, v, 'cache') for k, v in matched.cached_fields]
@@ -202,7 +205,8 @@ def main():
             out.append(['kv', '%s=%s' % (k, v), method])
         for c, cid in chunks:
             out.append(['chunk', c, cid])
-        return [[sp[0], sp[1], sp[2], i] for i, sp in enumerate(out)]
+        return ([[sp[0], sp[1], sp[2], i] for i, sp in enumerate(out)],
+                sid, sim, event)
 
     def _bb(el):
         from src.normalization.schema import BoundingBox
@@ -218,11 +222,16 @@ def main():
     tbl = pq.read_table(os.path.join(corpus_dir))
     rows = tbl.to_pylist()
     goldens, hashes, skipped = {}, [], 0
+    sig_groups = {}  # (sid, event) -> [n_docs, sum_sim]
     for row in rows:
-        g = parse_doc(row['doc_id'], row['spans'])
-        if g is None:
+        r = parse_doc(row['doc_id'], row['spans'])
+        if r is None:
             skipped += 1
             continue
+        g, sid, sim, event = r
+        acc = sig_groups.setdefault((sid, event), [0, 0.0])
+        acc[0] += 1
+        acc[1] += sim
         hashes.append((row['doc_id'], span_hash(g)))
         if sf == '0.001':
             goldens[row['doc_id']] = g
@@ -235,6 +244,32 @@ def main():
         os.makedirs(os.path.join(repo, 'src/test/resources/goldens'), exist_ok=True)
         with open(os.path.join(repo, 'src/test/resources/goldens/sf0.001.json'), 'w') as f:
             json.dump(goldens, f, ensure_ascii=False)
+        # A3 signature-statistics golden: per-(signature_id, event) doc
+        # counts + mean similarity from the EXECUTED reference functions
+        # (_generate_tokens / _calculate_jaccard_similarity) under the same
+        # deterministic table substitution, plus the reference
+        # get_signature_stats() totals shape (signatures.py:341-354).
+        # ROUND_HALF_UP to match Spark's round() (Python round() banks).
+        from decimal import Decimal, ROUND_HALF_UP
+        def r6(x):
+            return float(Decimal(repr(x)).quantize(Decimal('0.000001'),
+                                                   rounding=ROUND_HALF_UP))
+        groups = [
+            {'signature_id': k[0], 'sig_event': k[1], 'n_docs': v[0],
+             'avg_similarity': r6(v[1] / v[0])}
+            for k, v in sig_groups.items()]
+        total_docs = sum(v[0] for v in sig_groups.values())
+        distinct_sigs = len(set(k[0] for k in sig_groups))
+        stats = {
+            'groups': sorted(groups,
+                             key=lambda d: (d['signature_id'], d['sig_event'])),
+            'total_signatures': distinct_sigs,
+            'total_documents': total_docs,
+            'avg_documents_per_signature':
+                total_docs / distinct_sigs if distinct_sigs else 0,
+        }
+        with open(os.path.join(repo, 'src/test/resources/goldens/sf0.001.sigstats.json'), 'w') as f:
+            json.dump(stats, f, indent=1)
     print('docs=%d skipped=%d -> goldens for sf%s' % (len(rows), skipped, sf))
 
 if __name__ == '__main__':
