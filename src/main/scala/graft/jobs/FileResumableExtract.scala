@@ -156,6 +156,40 @@ object FileResumableExtract {
       }
   }
 
+  private def nextMetricsRun(f: FileSystem, out: String): Long = {
+    val dir = new Path(s"$out/metrics")
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("run_"))
+      .map(n => scala.util.Try(n.stripPrefix("run_").toLong).getOrElse(-1L))
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Per-file lineage/metrics view with replay supersession: reads every
+    * COMMITTED `metrics/run_<k>` dir (the `_SUCCESS` marker gates out a run
+    * whose write was interrupted) and keeps, per file_id, only the row from
+    * the LATEST run — a file replayed after a lost commit contributes once,
+    * from the run that actually produced its surviving output. Cost at any
+    * scale: one shuffle over #files scalar rows.
+    */
+  def readMetrics(spark: SparkSession, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = fs(spark, out)
+    val dir = new Path(s"$out/metrics")
+    val dirs =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).iterator
+        .filter(st => st.getPath.getName.startsWith("run_") &&
+          f.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString).toSeq.sorted
+    require(dirs.nonEmpty, s"no committed metrics runs under $dir")
+    val w = Window.partitionBy("file_id").orderBy(col("run").desc)
+    spark.read.parquet(dirs: _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "run")
+  }
+
   /** One (re)start. Returns docs processed by THIS invocation.
     * `timings`, when supplied, receives per-phase wall seconds
     * (rollback / write / metrics / commit) for scaling diagnosis.
@@ -217,13 +251,16 @@ object FileResumableExtract {
       }
     }
 
-    // Metrics per commit unit (file_id), published with dynamic partition
-    // overwrite: a file replayed after a crash between this write and its
-    // commit REPLACES its metrics rows — lineage sums never double-count.
-    // The read-back targets ONLY this run's partition dirs (committed
-    // partitions are never listed, let alone read — the whole-table
-    // listing was a scale-invariant constant in the scaling decomposition)
-    // and prunes to scalar metric columns (no span decode).
+    // Metrics per commit unit (file_id), published as ONE `run_<k>` dir per
+    // (re)start — the same roll-up shape as the manifest. The former
+    // per-file_id dynamic-partition-overwrite layout wrote #files tiny
+    // partition dirs per run: a measured scale-INVARIANT ~4.4s of committer
+    // churn at 300 files (and millions of tiny dirs at production file
+    // counts). Replay idempotency moves to the reader ([[readMetrics]]):
+    // a file replayed after a crash between this write and its commit gets
+    // a row in a LATER run, which supersedes — lineage sums never
+    // double-count. The results re-read targets ONLY this run's partition
+    // dirs and prunes to scalar metric columns (no span decode).
     timed("metrics") {
       val f = fs(spark, outPath)
       val dirs = pending
@@ -233,11 +270,12 @@ object FileResumableExtract {
       if (dirs.nonEmpty) {
         val written = spark.read
           .option("basePath", s"$outPath/results").parquet(dirs: _*)
-        graft.sources.DocStore.withDynamicOverwrite(spark) {
-          ExtractJob.unitMetrics(written, "file_id")
-            .write.mode(SaveMode.Overwrite).partitionBy("file_id")
-            .parquet(s"$outPath/metrics")
-        }
+        val runId = nextMetricsRun(f, outPath)
+        ExtractJob.unitMetrics(written, "file_id")
+          .withColumn("run", lit(runId))
+          .repartition(1) // #files rows of scalars — one small file
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/metrics/run_$runId")
       }
     }
     timed("commit") {

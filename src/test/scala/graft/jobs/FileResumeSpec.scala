@@ -65,7 +65,7 @@ class FileResumeSpec extends AnyFunSuite {
     assert(FileResumableExtract.completedFileIds(spark, outB).size == 8)
 
     // lineage is exact across restarts (per-file metrics, no double count)
-    val docsIn = spark.read.parquet(s"$outB/metrics")
+    val docsIn = FileResumableExtract.readMetrics(spark, outB)
       .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
     assert(docsIn == 400L, s"metrics double-counted: $docsIn")
   }
@@ -122,11 +122,11 @@ class FileResumeSpec extends AnyFunSuite {
     }
     assert(FileResumableExtract.completedFileIds(spark, out) == kept)
 
-    // restart: rolls back + replays that file, metrics partition is
-    // OVERWRITTEN (idempotent), not appended
+    // restart: rolls back + replays that file; the replay's LATER run row
+    // supersedes the orphaned one in readMetrics (no append double-count)
     val n = FileResumableExtract.run(spark, in, out)
     assert(n > 0)
-    val docsIn = spark.read.parquet(s"$out/metrics")
+    val docsIn = FileResumableExtract.readMetrics(spark, out)
       .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
     assert(docsIn == 200L, s"metrics double-counted after replay: $docsIn")
     assert(hashes(out).size == 200)
