@@ -148,15 +148,28 @@ object DedupOps {
   /** MinHash signatures: min over distinct shingles of (H(shingle) XOR
     * seed_k), k = 0..7. Multiplication-free hash family — identical
     * overflow-free arithmetic in Spark and DuckDB.
+    *
+    * Computed ENTIRELY per row (`transform` + `array_min` over the in-row
+    * shingle array): no shingle explode, no groupBy — i.e. ZERO shuffle.
+    * The former explode+groupBy formulation shuffled ~|shingles| rows per
+    * document (an ~85× fan-out of the corpus) just to re-group them by
+    * doc_id; at 100 TB that shuffle IS the operator's cost, and it buys
+    * nothing a per-row fold doesn't. Docs with no shingles (< 3 tokens)
+    * are absent from the output, exactly as the aggregate form and the
+    * DuckDB oracle (unnest of an empty list) have it.
     */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .withColumn("h", tokHash(col("shingle")))
-    val aggs = MinHashSeeds.zipWithIndex.map { case (seed, k) =>
-      min(col("h").bitwiseXOR(lit(seed))).as(s"mh$k")
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashRaw(spark, dir).orderBy("doc_id")
+
+  /** [[minhash]] without the presentation sort — the form d4 builds on. */
+  private def minhashRaw(spark: SparkSession, dir: String): DataFrame = {
+    val hs = shingles(spark, dir)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), transform(col("shingles"), s => tokHash(s)).as("hs"))
+    val mins = MinHashSeeds.zipWithIndex.map { case (seed, k) =>
+      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed)))).as(s"mh$k")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    hs.select(col("doc_id") +: mins: _*)
   }
 
   def minhashSql: String = {
@@ -188,7 +201,7 @@ object DedupOps {
     * from the grouped list — no join, no second shuffle of the index.
     */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhash(spark, dir)
+    val mh = minhashRaw(spark, dir)
     val bandKeys = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))

@@ -50,16 +50,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d3 minhash: per-row fold, ZERO shuffles") {
+    val plan = DedupOps.minhash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"minhash must be a per-row array fold, not an explode+groupBy:\n$plan")
+  }
+
   test("d4 band pairs: no join at all (posting-list expansion, one band shuffle)") {
     val plan = DedupOps.lshPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"),
       s"d4 must pair inside grouped band buckets, not via a self-join:\n$plan")
-    // minhash agg + band-bucket agg + distinct = 3 hash exchanges, no more
-    // (the former union-of-selects self-join planned 8 logical evaluations
-    // of the minhash aggregate and leaned on ReuseExchange to dedupe them)
+    // band-bucket agg + distinct = 2 hash exchanges, no more (minhash is
+    // now a per-row fold with none; the original union-of-selects
+    // self-join planned 8 logical evaluations of a minhash AGGREGATE and
+    // leaned on ReuseExchange to dedupe them)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(hashExchanges <= 3, s"expected <=3 hash exchanges in d4 plan:\n$plan")
+    assert(hashExchanges <= 2, s"expected <=2 hash exchanges in d4 plan:\n$plan")
   }
 
   test("vector queries run the native DotProduct expression, not the HOF fallback") {
