@@ -108,6 +108,10 @@ object VectorOps {
     * At production scale `bits` grows with log2(n / target bucket size);
     * the index is a linear scan to build and shuffles ids only.
     */
+  /** Profiling-visible alias of [[bucketIndex]]. */
+  def bucketIndexFor(e: DataFrame, bits: Int, tables: Int): DataFrame =
+    bucketIndex(e, bits, tables)
+
   private[ops] def bucketIndex(e: DataFrame, bits: Int, tables: Int): DataFrame = {
     val tableStructs = array((0 until tables).map { t =>
       val bkt = (0 until bits).map { j =>
