@@ -175,4 +175,31 @@ class FileResumeSpec extends AnyFunSuite {
     FileResumableExtract.compactManifest(spark, out)
     assert(mdir.listFiles().count(_.getName.endsWith(".manifest")) == 1)
   }
+
+  test("readMetrics ignores an uncommitted metrics run dir (no _SUCCESS)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fresume_msucc_").toString
+    val in = s"$base/docs"
+    spark.range(0, 100, 1, 2).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 100L)
+    val before = FileResumableExtract.readMetrics(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(before == 100L)
+
+    // fabricate a torn metrics write: a run dir holding a stray copy of a
+    // committed part file but NO _SUCCESS marker (crash mid-write)
+    val runs = new java.io.File(s"$out/metrics")
+    val committed = runs.listFiles().find(_.getName.startsWith("run_")).get
+    val torn = new java.io.File(runs, "run_9999")
+    torn.mkdirs()
+    val part = committed.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, new java.io.File(torn, part.getName).toPath)
+
+    // the torn run must not shadow (or double) the committed rows
+    val after = FileResumableExtract.readMetrics(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(after == 100L, s"torn metrics run leaked into the view: $after")
+  }
 }
