@@ -15,11 +15,13 @@ import graft.jobs.ExtractJob
   * cores) is produced by graft.ScalingBench and recorded in BASELINE.md —
   * one JVM per parallelism level.
   *
-  * Output: ONE bare JSON line on the RAW process stdout and stderr
-  * (FileDescriptor.out/err — sbt replaces System.out/err with its
-  * `[info]`-prefixing logger, which made round 1/2 driver artifacts
-  * unparseable; the raw descriptors bypass the redirection), plus a copy
-  * persisted to SPARK_GRAFT_BENCH_FILE.
+  * Output: ONE bare JSON line on stdout and stderr. These stay unprefixed
+  * because build.sbt sets `run / outputStrategy := StdoutOutput`, making
+  * the forked JVM inherit the real stdout/stderr — without it sbt pipes
+  * the fork through its `[info]`-prefixing logger, which made round 1/2
+  * driver artifacts unparseable. (Raw FileDescriptor.out does NOT bypass
+  * the piping: the fork's fd 1 IS the pipe to sbt.) A copy persists to
+  * SPARK_GRAFT_BENCH_FILE.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,9 +37,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // true median: even-length inputs average the middle pair — s(n/2)
+    // alone would systematically report the SLOWER of the two, e.g. when
+    // one of 3 reps fails and only 2 timings survive (same fix as
+    // ScalingBench.median)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
     val failures = scala.collection.mutable.ListBuffer[String]()

@@ -263,10 +263,19 @@ object FileResumableExtract {
     // dirs and prunes to scalar metric columns (no span decode).
     timed("metrics") {
       val f = fs(spark, outPath)
-      val dirs = pending
-        .map(p => new Path(s"$outPath/results/file_id=${fileId(new Path(p).getName)}"))
-        .filter(f.exists(_)) // an empty input file writes no partition
-        .map(_.toString)
+      // one listing intersected with the pending set — NOT one exists()
+      // RPC per pending file, which would be the same O(#files) serial
+      // driver tail the per-file marker commit was removed for (the
+      // intersection also drops empty input files, which write no
+      // partition)
+      val pendingIds = pending.map(p => fileId(new Path(p).getName)).toSet
+      val resultsDir = new Path(s"$outPath/results")
+      val dirs =
+        if (!f.exists(resultsDir)) Seq.empty[String]
+        else f.listStatus(resultsDir).iterator
+          .filter(st => st.getPath.getName.startsWith("file_id=") &&
+            pendingIds.contains(st.getPath.getName.stripPrefix("file_id=")))
+          .map(_.getPath.toString).toSeq
       if (dirs.nonEmpty) {
         val written = spark.read
           .option("basePath", s"$outPath/results").parquet(dirs: _*)

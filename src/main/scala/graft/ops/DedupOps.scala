@@ -354,14 +354,7 @@ object DedupOps {
     // shows shuffling the narrow (ia, ib) pairs through a distinct is
     // cheaper than dragging the ≤`tables`× duplicates through the
     // embedding joins, whose output rows carry two 64-element vectors.
-    val cand = bk.groupBy(col("tbl"), col("bkt"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
-      .distinct()
+    val cand = lshCandidatePairs(bk).distinct()
     // exact-cosine rescore: rejoin the embeddings by id (hash joins — at
     // scale these shuffle ids+vectors once, never the pair space)
     val ea = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -372,6 +365,20 @@ object DedupOps {
       .orderBy(desc("cosine"), col("ia"), col("ib"))
       .limit(topK)
   }
+
+  /** Duplicated (pre-distinct) candidate pairs from a (vec_id, tbl, bkt)
+    * LSH index: posting-list expansion per (tbl, bkt) bucket. Shared with
+    * the profiling harnesses (graft.tools.D7AB / D7Profile) so they
+    * measure the exact expansion the shipped operator runs.
+    */
+  private[graft] def lshCandidatePairs(bk: DataFrame): DataFrame =
+    bk.groupBy(col("tbl"), col("bkt"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
 
   /** Hyperplane rows as DuckDB VALUES literals — Double.toString emits the
     * shortest round-trip decimal, which DuckDB's correctly-rounded parser

@@ -114,10 +114,14 @@ object ExtractQueries {
     * are RE2-compatible for these patterns (proven by the x4 value oracle);
     * only existence matters here, so alternation-preference differences
     * cannot bite. All capture groups require >= 1 char, so an empty extract
-    * means "no match".
+    * means "no match". Flags mirror the engine's compile
+    * (CASE_INSENSITIVE+UNICODE_CASE+MULTILINE ↔ RE2 `im`); the one residual
+    * asymmetry is Java MULTILINE's wider line-terminator set (`$` before a
+    * bare `\\r`/`\\u2028` also matches there) — moot for every shipped
+    * pattern because `\\n` is an explicit alternative wherever `$` appears.
     */
   private def kvCaseSql(pattern: String): String =
-    s"CASE WHEN regexp_extract(text, '$pattern', 1, 'i') != '' THEN 1 ELSE 0 END"
+    s"CASE WHEN regexp_extract(text, '$pattern', 1, 'im') != '' THEN 1 ELSE 0 END"
 
   /** Python-whitespace trim class shared by the paragraph oracles. */
   private val WsTrim =
@@ -446,12 +450,18 @@ object ExtractQueries {
     * and the decision rule reduces to per-paragraph word-count comparisons
     * against the fixed-ld neighbours, computed here over the group word
     * counts (Python-whitespace words: tokens carry embedded `\\n\\n`).
+    * Tokenization mirrors Java `String.split(" ")` — trailing empty tokens
+    * dropped, hence the `rtrim` — and a group whose text strips to nothing
+    * emits NO block (`gw > 0` gates the block count). The neighbour terms
+    * assume no INTERIOR all-whitespace group (one would shift the
+    * neighbour indices; the generator corpus is single-spaced, so none
+    * exist — and the gates above keep the common edge cases exact).
     */
   def blockClassifySql: String =
     """WITH b AS (
          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-           string_split(text, ' ') AS toks,
-           len(string_split(text, ' ')) AS t
+           string_split(rtrim(text, ' '), ' ') AS toks,
+           len(string_split(rtrim(text, ' '), ' ')) AS t
          FROM documents),
        g AS (
          SELECT doc_id, t, CAST(ceil(t / 30.0) AS INT) AS p,
@@ -463,6 +473,9 @@ object ExtractQueries {
          FROM b),
        k AS (
          SELECT doc_id, p,
+           -- blocks the engine actually emits: a paragraph group whose text
+           -- strips to nothing (zero words) never becomes a block
+           len(list_filter(gw, w -> w > 0)) AS np,
            list_sum(list_transform(generate_series(1, p), i ->
              CASE WHEN gw[i] <= 0 THEN 0
                WHEN i = 1 THEN
@@ -476,9 +489,9 @@ object ExtractQueries {
                       THEN 1 ELSE 0 END
              END)) AS kept
          FROM g)
-       SELECT doc_id, CAST(p + 2 AS INT) AS n_blocks,
+       SELECT doc_id, CAST(np + 2 AS INT) AS n_blocks,
          CAST(coalesce(kept, 0) AS INT) AS n_blocks_kept,
-         CAST(p + 2 - coalesce(kept, 0) AS INT) AS n_boilerplate
+         CAST(np + 2 - coalesce(kept, 0) AS INT) AS n_boilerplate
        FROM k ORDER BY doc_id"""
 
   /** a5's oracle: the reference's three rules-statistics counters as HARD

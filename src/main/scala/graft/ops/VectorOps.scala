@@ -101,10 +101,6 @@ object VectorOps {
        SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"""
   }
 
-  /** Profiling-visible alias of [[bucketIndex]] (graft.tools.D7AB/D7Profile). */
-  def bucketIndexFor(e: DataFrame, bits: Int, tables: Int): DataFrame =
-    bucketIndex(e, bits, tables)
-
   /** The (vec_id, tbl, bkt) LSH index rows shared by the bucketed ANN
     * operators (d7 near-dup in [[DedupOps.lshNearDup]], v4 top-k below):
     * `tables` independent hash tables of `bits` hyperplane sign bits each,
@@ -112,7 +108,7 @@ object VectorOps {
     * At production scale `bits` grows with log2(n / target bucket size);
     * the index is a linear scan to build and shuffles ids only.
     */
-  private[ops] def bucketIndex(e: DataFrame, bits: Int, tables: Int): DataFrame = {
+  private[graft] def bucketIndex(e: DataFrame, bits: Int, tables: Int): DataFrame = {
     val tableStructs = array((0 until tables).map { t =>
       val bkt = (0 until bits).map { j =>
         val pl = hyperplane(t * bits + j, 64)

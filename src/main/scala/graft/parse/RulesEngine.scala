@@ -39,10 +39,15 @@ object RulesEngine {
       "(\\(?[0-9]{3}\\)?[-\\.\\s]?[0-9]{3}[-\\.\\s]?[0-9]{4})",
       0.8, required = false))
 
-  /** Compiled rule ready for per-partition reuse (pooled parser state). */
+  /** Compiled rule ready for per-partition reuse (pooled parser state).
+    * UNICODE_CASE because Python's `re.IGNORECASE` on str patterns folds
+    * case per Unicode, not ASCII — without it `ı`/`I`-style letters would
+    * diverge from the reference (and from the RE2 oracle, whose `(?i)`
+    * also folds per Unicode). No-op on the ASCII rule patterns/corpus.
+    */
   final class CompiledRule(val rule: Rule) {
-    val pattern: Pattern =
-      Pattern.compile(rule.pattern, Pattern.CASE_INSENSITIVE | Pattern.MULTILINE)
+    val pattern: Pattern = Pattern.compile(rule.pattern,
+      Pattern.CASE_INSENSITIVE | Pattern.MULTILINE | Pattern.UNICODE_CASE)
   }
 
   def compile(rules: Seq[Rule]): Seq[CompiledRule] = rules.map(new CompiledRule(_))

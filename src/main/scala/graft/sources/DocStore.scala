@@ -147,8 +147,8 @@ object ParquetDocStore extends DocStore {
     * Crash window (honest accounting): a kill between a bucket's delete and
     * its rename leaves that bucket's survivors only in `_retention_staging`.
     * [[recoverRetentionStaging]] runs first on every call and completes or
-    * rolls back such an interrupted swap automatically (the parquet
-    * `_SUCCESS` marker decides the direction), and every rename result is
+    * rolls back such an interrupted swap automatically (the `_affected`
+    * intent file decides the direction), and every rename result is
     * checked so a failed swap aborts loudly with the staging copy preserved
     * rather than deleting the only copy. Iceberg's snapshot commit removes
     * this window entirely (single atomic metadata swap); this is exactly
@@ -172,6 +172,15 @@ object ParquetDocStore extends DocStore {
     val staging = new Path(s"$table/_retention_staging")
     survivors.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
+    // The swap intent, recorded BEFORE the first destructive step: a bucket
+    // whose every row matched the predicate has NO staging dir (partitionBy
+    // skips empty partitions), so crash recovery cannot reconstruct the
+    // affected set from the staging listing alone — without this file it
+    // would resurrect exactly the fully-deleted buckets.
+    val intent = f.create(new Path(staging, "_affected"), true)
+    try intent.write(affected.keys.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally intent.close()
     val resultsDir = new Path(s"$table/results")
     affected.keys.foreach { b =>
       val dst = new Path(resultsDir, s"bucket=$b")
@@ -187,35 +196,47 @@ object ParquetDocStore extends DocStore {
   }
 
   /** Automatic crash recovery for an interrupted [[deleteWhere]] swap. The
-    * staging write's `_SUCCESS` marker decides the direction:
+    * `_affected` intent file (written strictly after the survivor rewrite
+    * commits and strictly before the first destructive step) decides the
+    * direction:
     *
-    *  - marker ABSENT → the survivor rewrite never committed and the
-    *    results dirs were never touched (the swap loop only starts after a
-    *    committed write): ROLL BACK by discarding the partial staging dir;
-    *  - marker PRESENT → the swap was mid-flight: ROLL FORWARD by
-    *    re-applying the swap for every bucket still in staging (buckets
+    *  - intent ABSENT → the swap never started and the results dirs were
+    *    never touched: ROLL BACK by discarding the partial staging dir;
+    *  - intent PRESENT → the swap was mid-flight: ROLL FORWARD by
+    *    re-applying the swap for EVERY bucket the intent lists — delete
+    *    the live dir, rename the staging dir in when one exists. Buckets
     *    already swapped were renamed OUT of staging, so this is naturally
     *    idempotent; a bucket whose results dir was deleted but not yet
-    *    renamed — the data-loss window — gets its only copy moved home).
+    *    renamed (the data-loss window) gets its only copy moved home; and
+    *    a fully-deleted bucket — which has NO staging dir to enumerate —
+    *    still gets its delete applied, because the intent, not the staging
+    *    listing, names the affected set (a listing-driven recovery would
+    *    silently resurrect exactly those buckets: a partially-applied
+    *    DELETE).
     */
   private def recoverRetentionStaging(spark: SparkSession, table: String): Unit = {
     val f = fs(spark, table)
     val staging = new Path(s"$table/_retention_staging")
     if (!f.exists(staging)) return
-    if (f.exists(new Path(staging, "_SUCCESS"))) {
+    val intentFile = new Path(staging, "_affected")
+    if (f.exists(intentFile)) {
+      val in = f.open(intentFile)
+      val affected =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
       val resultsDir = new Path(s"$table/results")
-      f.listStatus(staging).iterator
-        .filter(_.getPath.getName.startsWith("bucket="))
-        .foreach { st =>
-          val dst = new Path(resultsDir, st.getPath.getName)
-          if (!f.delete(dst, true) && f.exists(dst))
-            throw new java.io.IOException(
-              s"retention recovery: could not remove $dst")
-          if (!f.rename(st.getPath, dst))
-            throw new java.io.IOException(
-              s"retention recovery: rename ${st.getPath} -> $dst failed; " +
-                "survivors preserved in staging")
-        }
+      affected.foreach { b =>
+        val dst = new Path(resultsDir, s"bucket=$b")
+        if (!f.delete(dst, true) && f.exists(dst))
+          throw new java.io.IOException(
+            s"retention recovery: could not remove $dst")
+        val src = new Path(staging, s"bucket=$b")
+        if (f.exists(src) && !f.rename(src, dst))
+          throw new java.io.IOException(
+            s"retention recovery: rename $src -> $dst failed; " +
+              "survivors preserved in staging")
+      }
     }
     f.delete(staging, true)
   }

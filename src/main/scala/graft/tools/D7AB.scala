@@ -16,14 +16,8 @@ object D7AB {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val bk = VectorOps.bucketIndexFor(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
-    def cand: DataFrame = bk.groupBy(col("tbl"), col("bkt"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    val bk = VectorOps.bucketIndex(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
+    def cand: DataFrame = DedupOps.lshCandidatePairs(bk)
     val ea = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
     def score(c: DataFrame): DataFrame = c.join(ea, "ia").join(eb, "ib")

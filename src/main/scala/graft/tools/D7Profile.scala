@@ -21,15 +21,9 @@ object D7Profile {
       .withColumn("nrm", sqrt(graft.functions.VectorExprs.dotProduct(col("embedding"), col("embedding"))))
     t("full d7 (run 1)") { DedupOps.lshNearDup(spark, dir).count() }
     t("full d7 (run 2)") { DedupOps.lshNearDup(spark, dir).count() }
-    val bk = VectorOps.bucketIndexFor(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
+    val bk = VectorOps.bucketIndex(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
     t("bucketIndex count") { bk.count() }
-    val cand = bk.groupBy(col("tbl"), col("bkt"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    val cand = DedupOps.lshCandidatePairs(bk)
     t("candidates pre-distinct") { println("  rows=" + cand.count()) }
     t("candidates distinct") { println("  rows=" + cand.distinct().count()) }
     spark.stop()

@@ -81,28 +81,44 @@ class DocStoreSpec extends AnyFunSuite {
     val before = hashes(out)
     val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // Simulate a kill in deleteWhere's data-loss window: a bucket's
-    // survivors committed to _retention_staging (with _SUCCESS), the live
-    // results dir for that bucket already deleted, rename not yet done.
-    val bucket = spark.read.parquet(s"$out/results")
-      .select("bucket").as[Int].head()
+    // Simulate a kill in deleteWhere's data-loss window, with BOTH affected
+    // shapes: bucket Y's survivors committed to _retention_staging and its
+    // live dir already deleted (rename not yet done), while bucket X was
+    // FULLY deleted — zero survivors, so no staging dir exists for it and
+    // its live dir still holds the supposedly-deleted rows. The _affected
+    // intent file (written before the first destructive step in the real
+    // path) names both.
+    import spark.implicits._
+    val bks = spark.read.parquet(s"$out/results")
+      .select("bucket").distinct().as[Int].collect().sorted
+    val Array(bx, by) = bks.take(2)
+    val xDocs = spark.read.parquet(s"$out/results")
+      .filter(col("bucket") === bx).select("doc_id").as[String].collect().toSet
     val staging = new Path(s"$out/_retention_staging")
-    val src = new Path(s"$out/results/bucket=$bucket")
     f.mkdirs(staging)
-    assert(f.rename(src, new Path(staging, s"bucket=$bucket")))
+    assert(f.rename(new Path(s"$out/results/bucket=$by"),
+      new Path(staging, s"bucket=$by")))
     f.create(new Path(staging, "_SUCCESS"), true).close()
+    val intent = f.create(new Path(staging, "_affected"), true)
+    intent.write(s"$bx\n$by".getBytes("UTF-8")); intent.close()
 
     // the next deleteWhere call must roll the swap FORWARD before doing
-    // anything else — no rows lost, staging cleared
+    // anything else: Y's survivors moved home, X's delete COMPLETED (a
+    // staging-listing-driven recovery would have resurrected X)
     assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
     assert(!f.exists(staging), "staging dir not cleaned up")
-    assert(hashes(out) == before, "recovery lost or changed rows")
+    assert(!f.exists(new Path(s"$out/results/bucket=$bx")),
+      "fully-deleted bucket resurrected by recovery")
+    assert(hashes(out) == before.view.filterKeys(!xDocs(_)).toMap,
+      "recovery lost or changed surviving rows")
+    val after = hashes(out)
 
-    // and an UNCOMMITTED staging dir (no _SUCCESS: crash mid-write, results
-    // untouched) is rolled back — discarded without touching results
-    f.mkdirs(new Path(staging, s"bucket=$bucket"))
+    // and an UNCOMMITTED staging dir (no _affected intent: crash before the
+    // swap started, results untouched) is rolled back — discarded
+    f.mkdirs(new Path(staging, s"bucket=$by"))
+    f.create(new Path(staging, "_SUCCESS"), true).close()
     assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
     assert(!f.exists(staging))
-    assert(hashes(out) == before)
+    assert(hashes(out) == after)
   }
 }
