@@ -86,11 +86,11 @@ object ExtractQueries {
          'Phone: (555) 123-4567' || chr(10) || chr(10) || text AS t
        FROM documents)
        SELECT doc_id,
-         regexp_extract(t, '(?:invoice|inv|bill)\s*(?:number|#|no\.?)\s*:?\s*([A-Z0-9-]+)', 1, 'i') AS invoice_number,
-         CAST(CAST(regexp_extract(t, '(?:total|amount|sum|due)\s*:?\s*\$?([0-9,]+\.?[0-9]*)', 1, 'i') AS DOUBLE) AS VARCHAR) AS total_amount,
-         regexp_extract(t, '([0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})', 1, 'i') AS date_value,
-         regexp_extract(t, '([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})', 1, 'i') AS email,
-         regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'i') AS phone_number
+         regexp_extract(t, '(?:invoice|inv|bill)\s*(?:number|#|no\.?)\s*:?\s*([A-Z0-9-]+)', 1, 'im') AS invoice_number,
+         CAST(CAST(regexp_extract(t, '(?:total|amount|sum|due)\s*:?\s*\$?([0-9,]+\.?[0-9]*)', 1, 'im') AS DOUBLE) AS VARCHAR) AS total_amount,
+         regexp_extract(t, '([0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})', 1, 'im') AS date_value,
+         regexp_extract(t, '([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})', 1, 'im') AS email,
+         regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'im') AS phone_number
        FROM t ORDER BY doc_id"""
 
   /** Oracle-checked: the full extraction surface on driver data — DuckDB
@@ -284,11 +284,11 @@ object ExtractQueries {
     */
   private def ruleFieldsInner: String =
     """SELECT doc_id,
-         regexp_extract(t, '(?:invoice|inv|bill)\s*(?:number|#|no\.?)\s*:?\s*([A-Z0-9-]+)', 1, 'i') AS invoice_number,
-         CAST(CAST(regexp_extract(t, '(?:total|amount|sum|due)\s*:?\s*\$?([0-9,]+\.?[0-9]*)', 1, 'i') AS DOUBLE) AS VARCHAR) AS total_amount,
-         regexp_extract(t, '([0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})', 1, 'i') AS date_value,
-         regexp_extract(t, '([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})', 1, 'i') AS email,
-         regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'i') AS phone_number
+         regexp_extract(t, '(?:invoice|inv|bill)\s*(?:number|#|no\.?)\s*:?\s*([A-Z0-9-]+)', 1, 'im') AS invoice_number,
+         CAST(CAST(regexp_extract(t, '(?:total|amount|sum|due)\s*:?\s*\$?([0-9,]+\.?[0-9]*)', 1, 'im') AS DOUBLE) AS VARCHAR) AS total_amount,
+         regexp_extract(t, '([0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})', 1, 'im') AS date_value,
+         regexp_extract(t, '([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})', 1, 'im') AS email,
+         regexp_extract(t, '(\(?[0-9]{3}\)?[-\.\s]?[0-9]{3}[-\.\s]?[0-9]{4})', 1, 'im') AS phone_number
        FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          'Invoice Number: INV-' || CAST(doc_id AS VARCHAR) || chr(10) ||
          'Total: $' || CAST(n_chars AS VARCHAR) || '.50' || chr(10) ||

@@ -41,9 +41,14 @@ object RulesEngine {
 
   /** Compiled rule ready for per-partition reuse (pooled parser state).
     * UNICODE_CASE because Python's `re.IGNORECASE` on str patterns folds
-    * case per Unicode, not ASCII — without it `ı`/`I`-style letters would
-    * diverge from the reference (and from the RE2 oracle, whose `(?i)`
-    * also folds per Unicode). No-op on the ASCII rule patterns/corpus.
+    * case per Unicode, not ASCII — without it e.g. the Kelvin sign `K`
+    * would match `(?i)k` in the reference but not here. Residual known
+    * divergence either way: Java's fold (toUpper/toLower closure) and
+    * Python's simple-folding table disagree on the Turkish dotted/dotless
+    * i pair (`İ`/`ı`) — unreconcilable at the flag level, absent from the
+    * corpus and fuzz suite, and irrelevant to the shipped ASCII trigger
+    * words. No-op on the ASCII rule patterns/corpus (fuzz parity 2000/2000
+    * unchanged under the flag).
     */
   final class CompiledRule(val rule: Rule) {
     val pattern: Pattern = Pattern.compile(rule.pattern,
