@@ -226,20 +226,8 @@ object ExtractJob {
 /** spark-submit / runMain entry: ExtractMain <inDir> <outDir>. */
 object ExtractMain {
   def main(args: Array[String]): Unit = {
-    val Array(in, out) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-extract")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // ScanSplits task granularity: 128m (Spark default) is right at
-      // cluster scale; local corpora are small, so allow finer splits
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (in, out) = JobSession.inOutArgs("ExtractMain", args)
+    val spark = JobSession.build("graft-extract")
     val t0 = System.nanoTime()
     val (ok, err) = ExtractJob.run(spark, in, out)
     val sec = (System.nanoTime() - t0) / 1e9

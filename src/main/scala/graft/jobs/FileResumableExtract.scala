@@ -144,8 +144,13 @@ object FileResumableExtract {
     sts.foreach(st => f.delete(st.getPath, false))
   }
 
-  def rollbackUncommitted(spark: SparkSession, out: String): Unit = {
-    val done = completedFileIds(spark, out)
+  def rollbackUncommitted(spark: SparkSession, out: String): Unit =
+    rollbackUncommitted(spark, out, completedFileIds(spark, out))
+
+  /** Variant taking an already-read manifest — run() passes its own copy so
+    * a restart reads the manifest once, not once per phase.
+    */
+  def rollbackUncommitted(spark: SparkSession, out: String, done: Set[String]): Unit = {
     val f = fs(spark, out)
     val resultsDir = new Path(s"$out/results")
     if (f.exists(resultsDir))
@@ -210,12 +215,16 @@ object FileResumableExtract {
       r
     }
     val done = completedFileIds(spark, outPath)
-    timed("rollback")(rollbackUncommitted(spark, outPath))
-    val pending = inputFiles(spark, inPath)
-      .filter { p =>
-        val id = fileId(new Path(p).getName)
+    timed("rollback")(rollbackUncommitted(spark, outPath, done))
+    // basenames hashed ONCE per restart; the id list feeds the scan filter,
+    // the metrics partition intersection, and the commit roll-up
+    val pendingPairs = inputFiles(spark, inPath)
+      .map(p => p -> fileId(new Path(p).getName))
+      .filter { case (_, id) =>
         !done.contains(id) && onlyFiles.forall(_.contains(id))
       }
+    val pending = pendingPairs.map(_._1)
+    val pendingIds = pendingPairs.map(_._2)
     if (pending.isEmpty) return 0L
 
     // Scan ONLY the pending files; no shuffle anywhere in the job.
@@ -268,17 +277,25 @@ object FileResumableExtract {
       // driver tail the per-file marker commit was removed for (the
       // intersection also drops empty input files, which write no
       // partition)
-      val pendingIds = pending.map(p => fileId(new Path(p).getName)).toSet
+      val pendingIdSet = pendingIds.toSet
       val resultsDir = new Path(s"$outPath/results")
       val dirs =
         if (!f.exists(resultsDir)) Seq.empty[String]
         else f.listStatus(resultsDir).iterator
           .filter(st => st.getPath.getName.startsWith("file_id=") &&
-            pendingIds.contains(st.getPath.getName.stripPrefix("file_id=")))
+            pendingIdSet.contains(st.getPath.getName.stripPrefix("file_id=")))
           .map(_.getPath.toString).toSeq
       if (dirs.nonEmpty) {
-        val written = spark.read
-          .option("basePath", s"$outPath/results").parquet(dirs: _*)
+        // partition-type inference OFF for this read: a pending set whose
+        // ids are all-digit hex would infer file_id as DECIMAL, silently
+        // dropping leading zeros and breaking schema merge with earlier
+        // string-typed runs
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInfer = spark.conf.get(inferKey, "true")
+        val written = try {
+          spark.conf.set(inferKey, "false")
+          spark.read.option("basePath", s"$outPath/results").parquet(dirs: _*)
+        } finally spark.conf.set(inferKey, prevInfer)
         val runId = nextMetricsRun(f, outPath)
         ExtractJob.unitMetrics(written, "file_id")
           .withColumn("run", lit(runId))
@@ -293,8 +310,7 @@ object FileResumableExtract {
       // many files the run covered (the per-file marker loop was a
       // measured scale-INVARIANT ~2s tail at 64 files — pure constant
       // cost that capped whole-job scaling efficiency).
-      writeRollup(fs(spark, outPath), outPath,
-        pending.map(p => fileId(new Path(p).getName)))
+      writeRollup(fs(spark, outPath), outPath, pendingIds)
     }
     val (ok, err) = ExtractJob.okErr(obs)
     ok + err
@@ -309,18 +325,8 @@ object FileResumableExtract {
   */
 object FileResumableMain {
   def main(args: Array[String]): Unit = {
-    val Array(in, out) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-extract-file-resumable")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (in, out) = JobSession.inOutArgs("FileResumableMain", args)
+    val spark = JobSession.build("graft-extract-file-resumable")
     val n = FileResumableExtract.run(spark, in, out)
     if (sys.env.get("GRAFT_COMPACT_MANIFEST").contains("1"))
       FileResumableExtract.compactManifest(spark, out)

@@ -50,7 +50,18 @@ object ResumableExtract {
     )((df, only) => df.filter(bc.isin(only.toSeq: _*)))
     import spark.implicits._
     val docs = pending.as[InputDoc]
-    if (docs.isEmpty) return 0L
+    // this run covers EVERY pending bucket (the filter above scans them
+    // all), so the commit set is the pending set — including buckets that
+    // happen to contain zero docs. Committing only buckets observed in the
+    // written rows would leave an empty bucket pending forever: every
+    // restart re-scans the full input and the protocol never converges.
+    val pendingBuckets = (0 until ExtractJob.NumBuckets)
+      .filterNot(done)
+      .filter(b => onlyBuckets.forall(_.contains(b)))
+    if (docs.isEmpty) {
+      store.commitBuckets(spark, outPath, pendingBuckets)
+      return 0L
+    }
 
     val (results, obs) = ExtractJob.observeCounts(
       ExtractJob.extract(spark, docs, table, ExtractJob.Layout.ByBucket).toDF())
@@ -64,11 +75,9 @@ object ResumableExtract {
     // scalar metric columns; span payloads are never decoded again.
     val written = store.readResults(spark, outPath)
       .filter(!col("bucket").isin(done.toSeq: _*))
-    val processedBuckets = written.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
     store.writeUnitMetrics(
       ExtractJob.unitMetrics(written, "bucket"), outPath, "bucket")
-    store.commitBuckets(spark, outPath, processedBuckets)
+    store.commitBuckets(spark, outPath, pendingBuckets)
     okCount + errCount
   }
 
@@ -84,18 +93,8 @@ object ResumableExtract {
   */
 object ResumableMain {
   def main(args: Array[String]): Unit = {
-    val Array(in, out) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-extract-resumable")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (in, out) = JobSession.inOutArgs("ResumableMain", args)
+    val spark = JobSession.build("graft-extract-resumable")
     val n = ResumableExtract.run(spark, in, out)
     println(s"processed $n docs this run; " +
       s"${ResumableExtract.completedBuckets(spark, out).size}/${ExtractJob.NumBuckets} buckets committed")

@@ -93,8 +93,12 @@ object ParquetDocStore extends DocStore {
         .parquet(s"$table/results")
     }
 
-  override def readResults(spark: SparkSession, table: String): DataFrame =
+  override def readResults(spark: SparkSession, table: String): DataFrame = {
+    // self-heal a crashed retention swap before ANY read or resume plans
+    // against the results path — not just the next deleteWhere call
+    recoverRetentionStaging(spark, table)
     spark.read.parquet(s"$table/results")
+  }
 
   override def completedBuckets(spark: SparkSession, table: String): Set[Int] = {
     val f = fs(spark, table)
@@ -172,14 +176,25 @@ object ParquetDocStore extends DocStore {
     val staging = new Path(s"$table/_retention_staging")
     survivors.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
-    // The swap intent, recorded BEFORE the first destructive step: a bucket
-    // whose every row matched the predicate has NO staging dir (partitionBy
-    // skips empty partitions), so crash recovery cannot reconstruct the
-    // affected set from the staging listing alone — without this file it
-    // would resurrect exactly the fully-deleted buckets.
+    // The swap intent, recorded BEFORE the first destructive step. Each
+    // line carries the bucket's recovery class, because the staging listing
+    // alone cannot reconstruct it after a partial swap:
+    //   d:<b> — fully deleted (no survivors; partitionBy wrote no staging
+    //           dir): recovery must DELETE the live dir (a listing-driven
+    //           recovery would resurrect exactly these buckets);
+    //   s:<b> — has survivors in staging: recovery swaps them in — UNLESS
+    //           the staging dir is already gone, which proves this bucket's
+    //           swap completed and the live dir already IS the survivors
+    //           (deleting it then would destroy their only copy).
+    val staged = f.listStatus(staging).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket=") =>
+        n.stripPrefix("bucket=")
+      }.toSet
+    val intentBody = affected.keys.toSeq.sorted
+      .map(b => (if (staged.contains(b.toString)) "s:" else "d:") + b)
+      .mkString("\n")
     val intent = f.create(new Path(staging, "_affected"), true)
-    try intent.write(affected.keys.toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try intent.write(intentBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally intent.close()
     val resultsDir = new Path(s"$table/results")
     affected.keys.foreach { b =>
@@ -202,17 +217,19 @@ object ParquetDocStore extends DocStore {
     *
     *  - intent ABSENT → the swap never started and the results dirs were
     *    never touched: ROLL BACK by discarding the partial staging dir;
-    *  - intent PRESENT → the swap was mid-flight: ROLL FORWARD by
-    *    re-applying the swap for EVERY bucket the intent lists — delete
-    *    the live dir, rename the staging dir in when one exists. Buckets
-    *    already swapped were renamed OUT of staging, so this is naturally
-    *    idempotent; a bucket whose results dir was deleted but not yet
-    *    renamed (the data-loss window) gets its only copy moved home; and
-    *    a fully-deleted bucket — which has NO staging dir to enumerate —
-    *    still gets its delete applied, because the intent, not the staging
-    *    listing, names the affected set (a listing-driven recovery would
-    *    silently resurrect exactly those buckets: a partially-applied
-    *    DELETE).
+    *  - intent PRESENT → the swap was mid-flight: ROLL FORWARD per bucket
+    *    by its recorded class. `d:` buckets (fully deleted, never had a
+    *    staging dir) get their live dir deleted — idempotent. `s:` buckets
+    *    swap their staging survivors in — but ONLY while the staging dir
+    *    still exists; its absence proves that bucket's swap already
+    *    completed and the live dir IS the survivors, so it is left alone
+    *    (re-deleting it would destroy the only copy — the intent classes
+    *    exist precisely because "already swapped" and "fully deleted" are
+    *    indistinguishable from the staging listing).
+    *
+    * Runs at the top of [[deleteWhere]] AND [[readResults]], so any reader
+    * or resume run self-heals a crashed swap instead of serving the
+    * half-swapped table until the next retention pass.
     */
   private def recoverRetentionStaging(spark: SparkSession, table: String): Unit = {
     val f = fs(spark, table)
@@ -221,21 +238,33 @@ object ParquetDocStore extends DocStore {
     val intentFile = new Path(staging, "_affected")
     if (f.exists(intentFile)) {
       val in = f.open(intentFile)
-      val affected =
+      val entries =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
       val resultsDir = new Path(s"$table/results")
-      affected.foreach { b =>
+      entries.foreach { e =>
+        val (cls, b) = e.splitAt(2)
         val dst = new Path(resultsDir, s"bucket=$b")
-        if (!f.delete(dst, true) && f.exists(dst))
-          throw new java.io.IOException(
-            s"retention recovery: could not remove $dst")
         val src = new Path(staging, s"bucket=$b")
-        if (f.exists(src) && !f.rename(src, dst))
-          throw new java.io.IOException(
-            s"retention recovery: rename $src -> $dst failed; " +
-              "survivors preserved in staging")
+        cls match {
+          case "d:" =>
+            if (!f.delete(dst, true) && f.exists(dst))
+              throw new java.io.IOException(
+                s"retention recovery: could not remove $dst")
+          case "s:" if f.exists(src) =>
+            if (!f.delete(dst, true) && f.exists(dst))
+              throw new java.io.IOException(
+                s"retention recovery: could not remove $dst")
+            if (!f.rename(src, dst))
+              throw new java.io.IOException(
+                s"retention recovery: rename $src -> $dst failed; " +
+                  "survivors preserved in staging")
+          case "s:" => () // swap already completed; dst holds the survivors
+          case _ =>
+            throw new java.io.IOException(
+              s"retention recovery: unrecognized intent entry '$e'")
+        }
       }
     }
     f.delete(staging, true)

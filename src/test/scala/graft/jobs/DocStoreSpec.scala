@@ -81,17 +81,22 @@ class DocStoreSpec extends AnyFunSuite {
     val before = hashes(out)
     val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // Simulate a kill in deleteWhere's data-loss window, with BOTH affected
-    // shapes: bucket Y's survivors committed to _retention_staging and its
-    // live dir already deleted (rename not yet done), while bucket X was
-    // FULLY deleted — zero survivors, so no staging dir exists for it and
-    // its live dir still holds the supposedly-deleted rows. The _affected
-    // intent file (written before the first destructive step in the real
-    // path) names both.
+    // Simulate a kill in deleteWhere's data-loss window, with ALL THREE
+    // affected shapes in one interrupted swap:
+    //  - bucket X FULLY deleted (zero survivors, never had a staging dir,
+    //    live dir still holds the supposedly-deleted rows) — recovery must
+    //    complete the delete (a staging-listing-driven recovery would
+    //    resurrect it);
+    //  - bucket Y mid-swap: survivors committed to staging, live dir
+    //    already deleted, rename not yet done — recovery must move the
+    //    only copy home;
+    //  - bucket Z ALREADY swapped before the crash: staging dir renamed
+    //    away, live dir IS the survivors — recovery must leave it alone
+    //    (re-deleting dst here was the reviewed data-loss bug).
     import spark.implicits._
     val bks = spark.read.parquet(s"$out/results")
       .select("bucket").distinct().as[Int].collect().sorted
-    val Array(bx, by) = bks.take(2)
+    val Array(bx, by, bz) = bks.take(3)
     val xDocs = spark.read.parquet(s"$out/results")
       .filter(col("bucket") === bx).select("doc_id").as[String].collect().toSet
     val staging = new Path(s"$out/_retention_staging")
@@ -100,15 +105,17 @@ class DocStoreSpec extends AnyFunSuite {
       new Path(staging, s"bucket=$by")))
     f.create(new Path(staging, "_SUCCESS"), true).close()
     val intent = f.create(new Path(staging, "_affected"), true)
-    intent.write(s"$bx\n$by".getBytes("UTF-8")); intent.close()
+    intent.write(s"d:$bx\ns:$by\ns:$bz".getBytes("UTF-8")); intent.close()
 
     // the next deleteWhere call must roll the swap FORWARD before doing
-    // anything else: Y's survivors moved home, X's delete COMPLETED (a
-    // staging-listing-driven recovery would have resurrected X)
+    // anything else: X's delete completed, Y's survivors moved home, Z
+    // untouched
     assert(ParquetDocStore.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
     assert(!f.exists(staging), "staging dir not cleaned up")
     assert(!f.exists(new Path(s"$out/results/bucket=$bx")),
       "fully-deleted bucket resurrected by recovery")
+    assert(f.exists(new Path(s"$out/results/bucket=$bz")),
+      "already-swapped bucket destroyed by recovery")
     assert(hashes(out) == before.view.filterKeys(!xDocs(_)).toMap,
       "recovery lost or changed surviving rows")
     val after = hashes(out)

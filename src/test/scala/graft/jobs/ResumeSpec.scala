@@ -47,9 +47,10 @@ class ResumeSpec extends AnyFunSuite {
     val firstHalf = (0 until 20).toSet
     val n1 = ResumableExtract.run(spark, in, outB, onlyBuckets = Some(firstHalf))
     assert(n1 > 0 && n1 < total)
-    assert(ResumableExtract.completedBuckets(spark, outB) ==
-      firstHalf.filter(b => spark.read.parquet(s"$outB/results")
-        .filter(s"bucket = $b").count() > 0))
+    // ALL requested buckets commit — including any that held zero docs
+    // (a bucket with no docs is trivially complete; leaving it uncommitted
+    // would make every future resume re-scan the input forever)
+    assert(ResumableExtract.completedBuckets(spark, outB) == firstHalf)
     // … and bucket 25 died mid-write: partial dir, no marker
     val partial = new java.io.File(s"$outB/results/bucket=25")
     partial.mkdirs()
@@ -80,7 +81,11 @@ class ResumeSpec extends AnyFunSuite {
     // crash-between-metrics-and-marker simulation: one committed bucket
     // loses its marker after its metrics were published
     val done = ResumableExtract.completedBuckets(spark, out)
-    val lost = done.head
+    // pick a NON-EMPTY committed bucket (all pending buckets commit now,
+    // incl. empty ones — replaying an empty bucket would process 0 docs)
+    val lost = spark.read.parquet(s"$out/results")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+      .find(done.contains).get
     assert(new java.io.File(s"$out/_manifest/bucket_$lost.done").delete())
 
     val n = ResumableExtract.run(spark, in, out)
