@@ -69,7 +69,11 @@ object FuzzGen {
       "Invoice Number:", "Total: $", "invoice number : A invoice number: B",
       "Total: $1.2.3", "Email: not-an-email@", "Phone: 12345",
       s"Total: $$${rng.range(1, 9)} and Total: $$${rng.range(10, 99)}.99",
-      "INVOICE NUMBER: lower-42", "bill no.: X-1 bill #: Y-2"))
+      "INVOICE NUMBER: lower-42", "bill no.: X-1 bill #: Y-2",
+      // Unicode whitespace inside rule patterns: Python's \s matches
+      // NBSP / thin space — ASCII-only \s silently drops these kvs
+      "Total: 123.45", "Invoice Number: INV-77",
+      "due : $9.50", "phone 555 123 4567"))
   }
 
   private def textDoc(rng: Rng): String = {
@@ -143,7 +147,11 @@ object FuzzGen {
       }
       sb.append(s"$n: $v$nl")
     }
+    // Unix envelope line: consumed by the parser, neither header nor body
+    if (rng.chance(0.05)) sb.append(s"From nobody Mon Sep 17 00:00:00 2001$nl")
     hdr("From", s"${word(rng)}@ex${rng.nextInt(9)}.com")
+    // ':value' header line (empty name): CPython drops it and KEEPS parsing
+    if (rng.chance(0.05)) sb.append(s":orphan value$nl")
     if (rng.chance(0.8)) hdr("To", s"${word(rng)}@dest.org")
     rng.nextInt(4) match {
       case 0 => hdr("Subject", s"Invoice ${rng.range(1, 9999)}")
@@ -156,8 +164,18 @@ object FuzzGen {
     if (rng.chance(0.2)) hdr("Bcc", s"bcc@ex.com")
     if (rng.chance(0.3)) hdr("X-Custom", "ignored value")
 
+    // Colon-less non-continuation line: CPython's missing-separator defect
+    // — the header block ENDS here and this line onward IS the body (any
+    // content-type declared below it lands in the body text too)
+    if (rng.chance(0.05)) {
+      sb.append(s"this line has no colon so headers end$nl")
+      sb.append(s"Date: would-have-been-a-header$nl$nl")
+      sb.append(sentence(rng)).append(nl)
+      return sb.toString
+    }
+
     val body = emailBodyText(rng)
-    rng.nextInt(4) match {
+    rng.nextInt(7) match {
       case 0 => // bare single-part, no content-type at all
         sb.append(nl).append(body.replace("\n", nl)).append(nl)
       case 1 => // single-part quoted-printable
@@ -192,6 +210,41 @@ object FuzzGen {
         sb.append(s"Content-Type: text/html; charset=utf-8$nl$nl")
         sb.append(s"<p>html alternative</p>$nl")
         sb.append(s"--$b--$nl")
+      case 4 => // multipart boundary-recognition adversaries (FeedParser
+        // full-line rule: '--bJUNK' is content, '--b ' is a delimiter,
+        // '--b--tail' is content, missing '--b--' still yields the part;
+        // 'boundary = "b"' — name stripped by get_param — is valid)
+        val b = s"fz${rng.range(10, 99)}"
+        val decl = rng.pick(Vector(s"""boundary="$b"""", s"""boundary = "$b""""))
+        sb.append(s"Content-Type: multipart/mixed; $decl$nl$nl")
+        sb.append(s"--$b${rng.pick(Vector("", " ", "\t", "  "))}$nl")
+        sb.append(s"Content-Type: text/plain; charset=utf-8$nl$nl")
+        sb.append(sentence(rng)).append(nl)
+        if (rng.chance(0.6)) sb.append(s"--${b}not-a-boundary continues$nl")
+        if (rng.chance(0.4)) sb.append(s"--$b--but-not-the-end$nl")
+        sb.append(sentence(rng)).append(nl)
+        rng.nextInt(3) match {
+          case 0 => sb.append(s"--$b--$nl") // proper terminator
+          case 1 => sb.append(s"--$b--${rng.pick(Vector(" ", "\t "))}$nl")
+          case 2 => () // MISSING terminator: open part still counts
+        }
+      case 5 => // malformed quoted-printable: the binascii.a2b_qp edge
+        // cases ('==', trailing '=', '=XZ', '= ', '=\r' line-skip)
+        sb.append(s"Content-Type: text/plain; charset=utf-8$nl")
+        sb.append(s"Content-Transfer-Encoding: quoted-printable$nl$nl")
+        val qpLines = Vector(
+          s"double==3Dequals ${word(rng)}",
+          s"bad =4Z escape and = space",
+          s"soft break=$nl${word(rng)} continues",
+          s"literal =ZZ stays",
+          s"cr-soft=\rskipped tail$nl${word(rng)} next")
+        val picked = (0 until rng.range(2, 4)).map(_ => rng.pick(qpLines)) ++
+          (if (rng.chance(0.5)) Seq("ends with equals =") else Seq.empty)
+        sb.append(picked.mkString(nl)).append(nl)
+      case 6 => // unknown charset: reference's decode raises LookupError,
+        // swallowed per part -> the body contributes NOTHING
+        sb.append(s"Content-Type: text/plain; charset=bogus-${rng.nextInt(9)}$nl$nl")
+        sb.append(body.replace("\n", nl)).append(nl)
     }
     sb.toString
   }

@@ -13,10 +13,11 @@ import scala.collection.mutable
   *    (trailing spaces kept), first occurrence wins, names case-insensitive;
   *  - singlepart `get_payload(decode=True)` = raw body bytes with the
   *    content-transfer-encoding (base64 / quoted-printable) applied;
-  *  - multipart: parts delimited by `--boundary` lines; the line terminator
-  *    before a boundary belongs to the delimiter; text/plain payloads are
-  *    concatenated in document order with NO separator
-  *    (`email_extractor.py:76-85`);
+  *  - multipart: parts delimited by FULL `--boundary` lines (trailing
+  *    spaces/tabs only; a missing `--boundary--` terminator still yields
+  *    the open part); the line terminator before a boundary belongs to the
+  *    delimiter; text/plain payloads are concatenated in document order
+  *    with NO separator (`email_extractor.py:76-85`);
   *  - decode with charset (param, lowercased, default utf-8), errors ignored.
   *
   * Scope (SURVEY §7.3 R5): no folded headers, no nested multiparts, no
@@ -67,18 +68,23 @@ object EmailParser {
     Parsed(headers, fullText, layout, multipart)
   }
 
-  /** Split raw message into header lines and body at the first blank line.
-    * Line terminators: \r\n or \n (compat32 also accepts bare \r — excluded
-    * from corpus scope).
-    */
-  /** Header lines with the terminator that FOLLOWED each line ("\n",
-    * "\r\n", or "" at EOF) — folded continuations must re-embed the raw
-    * terminator verbatim, exactly as Python's compat32 accessor renders
-    * them ('one\r\n two' for CRLF mail; verified live).
+  /** Split raw message into header lines and body. Header lines carry the
+    * terminator that FOLLOWED each line ("\n", "\r\n", or "" at EOF) —
+    * folded continuations must re-embed the raw terminator verbatim,
+    * exactly as Python's compat32 accessor renders them ('one\r\n two' for
+    * CRLF mail; verified live).
+    *
+    * The header block ends at the first blank line — or, like CPython's
+    * FeedParser, at the first non-continuation line WITHOUT a ':' (a
+    * missing-separator defect): that line and everything after it IS the
+    * body ('From: a\nBadLine\nTo: b\n\nx' → headers {from}, payload
+    * 'BadLine\nTo: b\n\nx'; verified live). A first line starting with
+    * "From " is the Unix envelope line: consumed, neither header nor body.
     */
   private def splitHeadersBody(raw: String): (Seq[(String, String)], String) = {
     val lines = mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
+    var first = true
     val n = raw.length
     while (i < n) {
       val nl = raw.indexOf('\n', i)
@@ -87,8 +93,16 @@ object EmailParser {
         if (lineEnd > i && raw.charAt(lineEnd - 1) == '\r') lineEnd - 1 else lineEnd
       val line = raw.substring(i, contentEnd)
       if (line.isEmpty) return (lines.toSeq, raw.substring(next))
-      val term = if (nl < 0) "" else if (contentEnd < lineEnd) "\r\n" else "\n"
-      lines += (line -> term)
+      val continuation = line.charAt(0) == ' ' || line.charAt(0) == '\t'
+      if (first && line.startsWith("From ")) {
+        () // Unix envelope line: swallowed (msg.get_unixfrom(); verified)
+      } else if (!continuation && line.indexOf(':') < 0) {
+        return (lines.toSeq, raw.substring(i)) // defect: body starts HERE
+      } else {
+        val term = if (nl < 0) "" else if (contentEnd < lineEnd) "\r\n" else "\n"
+        lines += (line -> term)
+      }
+      first = false
       i = next
     }
     (lines.toSeq, "")
@@ -154,34 +168,74 @@ object EmailParser {
     }
   }
 
-  /** Lowercased maintype/subtype; default text/plain (`get_content_type`). */
+  /** Lowercased maintype/subtype; default text/plain. CPython's
+    * `get_content_type` demands EXACTLY one '/' ('text/plain/x' counts 2 →
+    * text/plain; verified live) and strips Python-style (NBSP included),
+    * not Java-trim-style.
+    */
   private def contentType(headers: Map[String, String]): String =
     headers.get("content-type") match {
       case Some(v) =>
-        val main = v.split(";", 2)(0).trim.toLowerCase
-        if (main.contains("/")) main else "text/plain"
+        val main = PyCompat.pyStrip(v.split(";", 2)(0)).toLowerCase
+        if (main.count(_ == '/') == 1) main else "text/plain"
       case None => "text/plain"
     }
 
-  /** Extract a Content-Type parameter (e.g. boundary, charset); value may be
-    * quoted.
+  /** Extract a Content-Type parameter (e.g. boundary, charset); value may
+    * be quoted. Python's `get_param` STRIPS the parameter name, so
+    * 'boundary = "b"' is a valid boundary (verified live) — match on the
+    * stripped name, not a prefix of the raw segment.
     */
   private def param(ctypeValue: String, name: String): Option[String] = {
-    ctypeValue.split(";").iterator.drop(1).map(_.trim).collectFirst {
-      case p if p.toLowerCase.startsWith(name + "=") =>
-        val v = p.substring(name.length + 1).trim
-        if (v.length >= 2 && v.head == '"' && v.last == '"') v.substring(1, v.length - 1)
-        else v
-    }
+    ctypeValue.split(";").iterator.drop(1).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq < 0) None
+      else if (PyCompat.pyStrip(seg.substring(0, eq)).toLowerCase != name) None
+      else {
+        val v = PyCompat.pyStrip(seg.substring(eq + 1))
+        Some(
+          if (v.length >= 2 && v.head == '"' && v.last == '"')
+            v.substring(1, v.length - 1)
+          else v)
+      }
+    }.nextOption()
   }
 
-  /** Split a multipart body into part strings. A boundary line is a line
-    * starting with `--boundary`; the terminator `--boundary--` ends parsing.
-    * The line break preceding a boundary belongs to the delimiter.
+  /** Split a multipart body into part strings, with CPython FeedParser's
+    * boundary recognition (all verified live):
+    *
+    *  - a boundary is a FULL line: `--boundary` followed only by optional
+    *    spaces/tabs ('--bXYZ' is content, '--b ' is a boundary);
+    *  - the closing terminator is `--boundary--` + optional spaces/tabs
+    *    ('--b--extra' is content);
+    *  - the line break preceding a boundary belongs to the delimiter;
+    *  - a missing closing terminator still yields the open part, with
+    *    exactly ONE trailing line terminator removed at EOF.
     */
   private def partsOf(body: String, boundary: String): Seq[String] = {
     val delim = "--" + boundary
     val parts = mutable.ArrayBuffer.empty[String]
+
+    def isWsOnly(s: String): Boolean = s.forall(c => c == ' ' || c == '\t')
+    // 0 = content line, 1 = part delimiter, 2 = closing terminator
+    def kind(line: String): Int =
+      if (!line.startsWith(delim)) 0
+      else {
+        val rest = line.substring(delim.length)
+        if (isWsOnly(rest)) 1
+        else if (rest.startsWith("--") && isWsOnly(rest.substring(2))) 2
+        else 0
+      }
+    def flush(endRaw: Int, partStart: Int): Unit = {
+      // strip the single line terminator preceding the boundary (or EOF)
+      var end = endRaw
+      if (end > partStart && body.charAt(end - 1) == '\n') {
+        end -= 1
+        if (end > partStart && body.charAt(end - 1) == '\r') end -= 1
+      }
+      parts += body.substring(partStart, end)
+    }
+
     var partStart = -1 // -1 => in preamble
     var i = 0
     val n = body.length
@@ -190,21 +244,17 @@ object EmailParser {
       val lineEnd = if (nl < 0) n else nl
       val lineRaw = body.substring(i, lineEnd)
       val line = if (lineRaw.endsWith("\r")) lineRaw.dropRight(1) else lineRaw
-      if (line.startsWith(delim)) {
-        if (partStart >= 0) {
-          // strip the single line terminator preceding this boundary line
-          var end = i
-          if (end > partStart && body.charAt(end - 1) == '\n') {
-            end -= 1
-            if (end > partStart && body.charAt(end - 1) == '\r') end -= 1
-          }
-          parts += body.substring(partStart, end)
-        }
-        if (line.startsWith(delim + "--")) return parts.toSeq
-        partStart = if (nl < 0) n else nl + 1
+      kind(line) match {
+        case 0 => ()
+        case k =>
+          if (partStart >= 0) flush(i, partStart)
+          if (k == 2) return parts.toSeq
+          partStart = if (nl < 0) n else nl + 1
       }
       if (nl < 0) i = n + 1 else i = nl + 1
     }
+    // EOF with no closing terminator: the open part still counts
+    if (partStart >= 0) flush(n, partStart)
     parts.toSeq
   }
 
@@ -229,23 +279,36 @@ object EmailParser {
     decodeIgnore(bytes, charset)
   }
 
-  /** Python quopri.decodestring: =XX hex, soft line breaks `=\n`/`=\r\n`
-    * removed, malformed escapes kept literally.
+  /** Python quopri.decodestring ≡ binascii.a2b_qp. The malformed-escape
+    * cases follow the C implementation exactly (each verified live):
+    * `=\n` soft break; `=\r` consumes the REST OF THE LINE including its
+    * `\n` ('a=\rXYZ\nb' → 'ab'); `==` emits one '=' and consumes both
+    * ('a==3Db' → 'a=3Db'); a trailing `=` at EOF is dropped; any other
+    * invalid escape emits '=' literally WITHOUT consuming the next byte
+    * ('a=4Z' → 'a=4Z', 'a= \nb' → 'a= \nb').
     */
   private def decodeQp(s: String): Array[Byte] = {
     val in = s.getBytes(StandardCharsets.UTF_8)
-    val out = new java.io.ByteArrayOutputStream(in.length)
+    val n = in.length
+    val out = new java.io.ByteArrayOutputStream(n)
     var i = 0
-    while (i < in.length) {
+    while (i < n) {
       val b = in(i)
-      if (b == '=' && i + 1 < in.length) {
-        val c1 = in(i + 1)
-        if (c1 == '\n') i += 2
-        else if (c1 == '\r' && i + 2 < in.length && in(i + 2) == '\n') i += 3
-        else if (i + 2 < in.length && isHex(c1) && isHex(in(i + 2))) {
-          out.write((hexVal(c1) << 4) | hexVal(in(i + 2)))
-          i += 3
-        } else { out.write(b); i += 1 }
+      if (b == '=') {
+        if (i + 1 >= n) i = n // trailing '=' dropped
+        else {
+          val c1 = in(i + 1)
+          if (c1 == '\n') i += 2
+          else if (c1 == '\r') {
+            i += 2
+            while (i < n && in(i) != '\n') i += 1
+            if (i < n) i += 1
+          } else if (c1 == '=') { out.write('='); i += 2 }
+          else if (i + 2 < n && isHex(c1) && isHex(in(i + 2))) {
+            out.write((hexVal(c1) << 4) | hexVal(in(i + 2)))
+            i += 3
+          } else { out.write(b); i += 1 }
+        }
       } else { out.write(b); i += 1 }
     }
     out.toByteArray
@@ -256,9 +319,15 @@ object EmailParser {
   private def hexVal(b: Byte): Int =
     if (b <= '9') b - '0' else (b & 0xdf) - 'A' + 10
 
-  /** `bytes.decode(charset, errors='ignore')`. */
+  /** `bytes.decode(charset, errors='ignore')` — with the reference's
+    * exception semantics: an UNKNOWN charset raises LookupError inside
+    * `payload.decode`, which `_extract_body`'s per-part `except` swallows,
+    * so that part contributes an EMPTY string (verified live:
+    * charset=bogus-charset → body ''). Falling back to utf-8 here would
+    * instead decode content the reference drops.
+    */
   private def decodeIgnore(bytes: Array[Byte], charset: String): String = {
-    val cs = try Charset.forName(charset) catch { case _: Exception => StandardCharsets.UTF_8 }
+    val cs = try Charset.forName(charset) catch { case _: Exception => return "" }
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.IGNORE)
       .onUnmappableCharacter(CodingErrorAction.IGNORE)

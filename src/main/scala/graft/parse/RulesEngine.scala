@@ -51,8 +51,13 @@ object RulesEngine {
     * unchanged under the flag).
     */
   final class CompiledRule(val rule: Rule) {
+    // UNICODE_CHARACTER_CLASS (implies UNICODE_CASE): Python's \s in str
+    // patterns matches Unicode whitespace — 'Total: 123.45' matches
+    // the total_amount rule in the reference (verified live) and must
+    // here too; ASCII-only \s silently dropped such kvs.
     val pattern: Pattern = Pattern.compile(rule.pattern,
-      Pattern.CASE_INSENSITIVE | Pattern.MULTILINE | Pattern.UNICODE_CASE)
+      Pattern.CASE_INSENSITIVE | Pattern.MULTILINE |
+        Pattern.UNICODE_CHARACTER_CLASS)
   }
 
   def compile(rules: Seq[Rule]): Seq[CompiledRule] = rules.map(new CompiledRule(_))

@@ -25,14 +25,9 @@ object Sectionizer {
       }
     }
 
-  /** C2 — PDF: one section per non-empty-page element, title "Page {page}",
-    * bbox carries the page number.
-    */
-  def pdfSections(elements: Seq[LayoutElement]): Seq[SectionOut] =
-    elements.collect {
-      case e if e.elementType == "text" && e.content.nonEmpty =>
-        SectionOut(s"Page ${e.page}", e.content, 1, Some(e.page))
-    }
+  // C2 (PDF sections, "Page {page}") lives inline in DocParser's pdf
+  // branch, which must carry each section's anchor offset for media
+  // interleaving — a second copy here was dead code that could drift.
 
   /** C4 — chunking (`pipeline.py:409-425`): paragraphs of full text, chunk_id
     * `{doc_id}_chunk_{i:03d}`, tokens = Python word count.
