@@ -37,15 +37,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // true median: even-length inputs average the middle pair — s(n/2)
-    // alone would systematically report the SLOWER of the two, e.g. when
-    // one of 3 reps fails and only 2 timings survive (same fix as
-    // ScalingBench.median)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>

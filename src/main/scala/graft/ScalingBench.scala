@@ -31,16 +31,13 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val corpus = args.headOption.getOrElse("/root/repo/data/docs/sf1.0")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // ascending + distinct: the efficiency summary divides the larger
+    // level's throughput by the smaller's — reversed input would record an
+    // absurd >1 "efficiency" as BASELINE scaling evidence
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.distinct.sorted
 
-    // true median: even-length inputs average the middle pair (s(n/2) alone
-    // would systematically pick the SLOWER of two sink runs)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    def median(xs: Seq[Double]): Double = BenchUtil.median(xs)
 
     val perLevel = levels.map { cpus =>
       val spark = SparkSession.builder()
@@ -93,7 +90,12 @@ object ScalingBench {
       def fileSinkOnce(record: Boolean): Double = {
         fsRun += 1
         val out = s"/dev/shm/graft-bench/scaling_fs_$cpus/run$fsRun"
-        // fresh dir: a leftover manifest would make resume (correctly) no-op
+        // fresh dir: a leftover manifest would make resume (correctly) no-op;
+        // and the PREVIOUS run's full output tree goes too — several result
+        // sets piling up in RAM-backed tmpfs next to the shuffle dir would
+        // distort the very timings being measured
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/dev/shm/graft-bench/scaling_fs_$cpus/run${fsRun - 1}"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val t0 = System.nanoTime()
         graft.jobs.FileResumableExtract.run(spark, corpus, out,
@@ -114,7 +116,9 @@ object ScalingBench {
       val br = Seq("rollback", "write", "metrics", "commit")
         .map(k => f""""${k}_sec":${phases.getOrElse(k, 0.0) / fsIters}%.3f""")
         .mkString(",")
-      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"iters":$iters,"corpus":"$corpus"}""")
+      // per-metric timed-run counts (sink/filesink run one fewer than
+      // parse) so evidence audits see the real sample sizes
+      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"parse_iters":${parseTimes.length},"sink_iters":${sinkTimes.length},"filesink_iters":${fsTimes.length},"corpus":"$corpus"}""")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File("/dev/shm/graft-bench"))
       spark.stop()

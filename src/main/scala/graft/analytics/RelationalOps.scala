@@ -27,15 +27,15 @@ object RelationalOps {
   /** A2-style pricing summary (hash agg, partial+final). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .groupBy($c("l_returnflag"), $c("l_linestatus"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        dsum($c("l_quantity")).as("sum_qty"),
-        dsum($c("l_extendedprice")).as("sum_base_price"),
-        sum(($c("l_extendedprice").cast("decimal(18,2)")) *
-          (lit(1).cast("decimal(18,2)") - $c("l_discount").cast("decimal(18,2)")))
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)")) *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("sum_disc_price"),
-        (sum($c("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
           .as("avg_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -56,9 +56,9 @@ object RelationalOps {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
     orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
-      .groupBy($c("c_custkey"), $c("c_name"))
-      .agg(dsum($c("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      .orderBy(desc("revenue"), $c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), col("c_custkey"))
       .limit(10)
   }
 
@@ -80,8 +80,8 @@ object RelationalOps {
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(nation, customer("c_nationkey") === nation("n_nationkey"))
       .join(region, nation("n_regionkey") === region("r_regionkey"))
-      .groupBy($c("r_name"))
-      .agg(count(lit(1)).as("n_orders"), dsum($c("o_totalprice")).as("revenue"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy("r_name")
   }
 
@@ -97,11 +97,11 @@ object RelationalOps {
   /** P3/P4 filter + projection (pushed to the parquet scan) + O1/O3. */
   def q4FilterProject(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .filter($c("l_returnflag") === "R" &&
-        $c("l_quantity") >= 10 && $c("l_quantity") <= 20 &&
-        $c("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
-      .select($c("l_orderkey"), $c("l_linenumber"), $c("l_quantity"),
-        $c("l_extendedprice").cast("decimal(18,2)").cast("double").as("price"))
+      .filter(col("l_returnflag") === "R" &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(100)
 
@@ -116,9 +116,9 @@ object RelationalOps {
   /** A8 distinct/dedupe. */
   def q5Distinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .groupBy($c("l_returnflag"))
-      .agg(countDistinct($c("l_orderkey")).as("n_orders"),
-        countDistinct($c("l_partkey")).as("n_parts"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy("l_returnflag")
 
   def q5Sql: String =
@@ -129,13 +129,13 @@ object RelationalOps {
   /** §2.8 ranking window (deterministic tiebreak on the key). */
   def q6WindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($c("o_custkey"))
-      .orderBy(desc("o_totalprice"), $c("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
     t(spark, dir, "orders")
       .withColumn("rn", row_number().over(w))
-      .filter($c("rn") === 1)
-      .select($c("o_custkey"), $c("o_orderkey"),
-        $c("o_totalprice").cast("decimal(18,2)").cast("double").as("top_price"))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("top_price"))
       .orderBy("o_custkey")
   }
 
@@ -151,11 +151,11 @@ object RelationalOps {
     */
   def q7EvalRatios(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .groupBy($c("event_type"))
+      .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(when($c("value") > 50.0, 1L).otherwise(0L)).as("n_high"),
-        (sum(when($c("value") > 50.0, 1L).otherwise(0L)).cast("double") /
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_high"),
+        (sum(when(col("value") > 50.0, 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("high_ratio"))
       .orderBy("event_type")
 
@@ -168,8 +168,8 @@ object RelationalOps {
   /** Time bucketing over the events stream table (A4-shape). */
   def q8EventsDaily(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .groupBy(to_date($c("ts")).as("day"), $c("event_type"))
-      .agg(count(lit(1)).as("n"), dsum($c("value")).as("sum_value"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("day", "event_type")
 
   def q8Sql: String =
@@ -180,8 +180,8 @@ object RelationalOps {
   /** Date-part extraction + aggregation. */
   def q9OrdersByMonth(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .groupBy(year($c("o_orderdate")).as("y"), month($c("o_orderdate")).as("m"))
-      .agg(count(lit(1)).as("n_orders"), dsum($c("o_totalprice")).as("revenue"))
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy("y", "m")
 
   def q9Sql: String =
@@ -193,7 +193,9 @@ object RelationalOps {
   /** Anti join (the resume protocol's left_anti shape, SURVEY §4.2). */
   def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
-    val li = t(spark, dir, "lineitem").select($c("l_orderkey")).distinct()
+    // no .distinct() on the anti-join side: left_anti is set-semantic, and
+    // a pre-dedupe is a full extra shuffle over the fact table's keys
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"))
     orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_orders_without_items"))
   }
@@ -205,10 +207,12 @@ object RelationalOps {
   /** Semi join (EXISTS). */
   def q11SemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")
-    val big = t(spark, dir, "orders").filter($c("o_totalprice") > 400000.0)
-      .select($c("o_custkey")).distinct()
+    // likewise no .distinct() before left_semi — duplicates cannot change
+    // the semi-join result, the dedupe only added a shuffle
+    val big = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
     customer.join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
-      .groupBy($c("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
   }
@@ -227,12 +231,12 @@ object RelationalOps {
     val orders = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .groupBy($c("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
       .agg(
-        countDistinct($c("o_orderkey")).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_items"),
-        sum(($c("l_extendedprice").cast("decimal(18,2)")) *
-          (lit(1).cast("decimal(18,2)") - $c("l_discount").cast("decimal(18,2)")))
+        sum((col("l_extendedprice").cast("decimal(18,2)")) *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
@@ -249,9 +253,9 @@ object RelationalOps {
     */
   def p3LibrarySearch(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter($c("lang") === "en" && $c("n_chars") >= 200)
-      .select($c("doc_id"), $c("lang"), $c("source"), $c("n_chars"))
-      .orderBy(desc("n_chars"), $c("doc_id"))
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(desc("n_chars"), col("doc_id"))
       .limit(50)
 
   def p3Sql: String =
@@ -264,11 +268,11 @@ object RelationalOps {
     */
   def a2RepoStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .groupBy($c("lang"))
+      .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("total_documents"),
-        sum($c("n_chars")).as("total_size_chars"),
-        (sum($c("n_chars")).cast("double") / count(lit(1))).as("avg_size_chars"))
+        sum(col("n_chars")).as("total_size_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_size_chars"))
       .orderBy("lang")
 
   def a2Sql: String =
@@ -283,8 +287,8 @@ object RelationalOps {
     */
   def p1DocLookup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter($c("doc_id") === 42L)
-      .select($c("doc_id"), $c("lang"), $c("source"), $c("n_chars"), $c("text"))
+      .filter(col("doc_id") === 42L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
 
   def p1Sql: String =
     """SELECT doc_id, lang, source, n_chars, text FROM documents
@@ -298,11 +302,11 @@ object RelationalOps {
   def p5Retention(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
     t(spark, dir, "events")
-      .groupBy($c("event_type"))
+      .groupBy(col("event_type"))
       .agg(
-        sum(when($c("ts") >= cutoff, 1L).otherwise(0L)).as("n_kept"),
-        sum(when($c("ts") < cutoff, 1L).otherwise(0L)).as("n_purged"),
-        max(when($c("ts") < cutoff, $c("ts"))).as("newest_purged"))
+        sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("n_purged"),
+        max(when(col("ts") < cutoff, col("ts"))).as("newest_purged"))
       .orderBy("event_type")
   }
 
@@ -313,5 +317,4 @@ object RelationalOps {
        max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END) AS newest_purged
        FROM events GROUP BY event_type ORDER BY event_type"""
 
-  private def $c(n: String) = col(n)
 }

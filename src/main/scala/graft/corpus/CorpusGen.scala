@@ -294,6 +294,18 @@ $rows
       (pos, s"media://$mtype/${docId}_$k")
     }.sortBy(_._1)
 
+    assemble(docId, content, media)
+  }
+
+  /** Interleave media refs (at their content insertion indices) with the
+    * content spans, assigning contiguous offsets — the ONE definition of
+    * the corpus doc shape, shared with [[FuzzGen]] so the fuzz corpus can
+    * never drift from the main corpus's span/offset semantics.
+    */
+  private[corpus] def assemble(
+      docId: String,
+      content: Seq[(String, String)],
+      media: Seq[(Int, String)]): InputDoc = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
     var offset = 0
     var mIdx = 0

@@ -281,22 +281,7 @@ object FuzzGen {
       (rng.nextInt(content.length + 1), s"media://fuzz/${docId}_$k")
     }.sortBy(_._1)
 
-    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
-    var offset = 0
-    var mIdx = 0
-    content.zipWithIndex.foreach { case ((kind, text), ci) =>
-      while (mIdx < media.length && media(mIdx)._1 <= ci) {
-        spans += Span("media", "", media(mIdx)._2, offset)
-        offset += 1; mIdx += 1
-      }
-      spans += Span(kind, text, "", offset)
-      offset += 1
-    }
-    while (mIdx < media.length) {
-      spans += Span("media", "", media(mIdx)._2, offset)
-      offset += 1; mIdx += 1
-    }
-    InputDoc(docId, spans.toSeq)
+    CorpusGen.assemble(docId, content, media) // shared doc-shape assembler
   }
 
   /** True when the doc is one of the deliberately-invalid shapes that must
