@@ -187,7 +187,23 @@ object FileResumableExtract {
         .filter(st => st.getPath.getName.startsWith("run_") &&
           f.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.toString).toSeq.sorted
-    require(dirs.nonEmpty, s"no committed metrics runs under $dir")
+    // A fully successful run over an input of only EMPTY files writes no
+    // metrics run at all (the dirs.nonEmpty guard in the metrics phase), so
+    // "no committed runs" is a legitimate committed state, not corruption —
+    // lineage reads get zero rows with the unitMetrics schema, not a crash.
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("file_id", StringType),
+        StructField("docs_in", LongType),
+        StructField("docs_ok", LongType),
+        StructField("docs_err", LongType),
+        StructField("spans_out", LongType),
+        StructField("bytes_in", LongType),
+        StructField("parse_us", LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val w = Window.partitionBy("file_id").orderBy(col("run").desc)
     spark.read.parquet(dirs: _*)
       .withColumn("_rn", row_number().over(w))

@@ -65,7 +65,18 @@ object DedupOps {
     */
   val MaxShingleDf = 100
 
-  /** n-gram Jaccard near-dup pairs via posting lists: group the exploded
+  /** n-gram Jaccard near-dup pairs — LOWER-BOUND semantics, by design: the
+    * df-pruning below drops shingles with df > [[MaxShingleDf]] from the
+    * intersection counts (but not the per-doc sizes), so every reported
+    * jaccard is ≤ the exact value and a pair whose overlap consists ONLY
+    * of corpus-scale hot shingles can be missed entirely. Consumers
+    * thresholding at τ get no false positives above τ but may get false
+    * negatives for pairs held together solely by stop-shingles — acceptable
+    * for dedup (such pairs match everything) and required for scale (exact
+    * jaccard on hot keys is quadratic). The DuckDB oracle prunes
+    * identically; COVERAGE.md "d2" documents the contract for consumers.
+    *
+    * Mechanics — posting lists: group the exploded
     * shingles once (ONE shuffle on the shingle key), df-prune hot shingles
     * (df > [[MaxShingleDf]]), and generate candidate pairs by exploding
     * each surviving posting list's ordered combinations — the classic

@@ -176,8 +176,9 @@ object VectorOps {
     * expansion |a−c|² = a·a − 2·a·c + c·c (three fused codegen'd loops, no
     * per-dimension map lookups, dimensionality taken from the data). The
     * DuckDB oracle mirrors the identical expansion term-for-term, so the
-    * doubles agree bit-exactly; the mean is rounded to 9 dp on both sides
-    * to erase partition-order summation differences.
+    * doubles agree bit-exactly; the per-label mean also goes through an
+    * exact DECIMAL sum (then one double divide + round 9 dp on both sides),
+    * so no step of the query depends on partition summation order.
     */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -195,7 +196,12 @@ object VectorOps {
             + dot(col("carr"), col("carr")),
           lit(0.0))).as("dist"))
     withC.groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"), round(avg(col("dist")), 9).as("mean_dist"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // exact DECIMAL sum (like the centroids above) so the mean is
+        // deterministic under any partitioning; double avg() would let
+        // partition-order summation flip the 9th rounded digit
+        round(sum(col("dist").cast("decimal(38,15)")).cast("double")
+          / count(lit(1)), 9).as("mean_dist"))
       .orderBy("label")
   }
 
@@ -213,6 +219,8 @@ object VectorOps {
                                   z -> z[1] * z[2]))
                  + list_sum(list_transform(cv.carr, x -> x * x)), 0.0)) AS dist
              FROM e JOIN cv USING (label))
-       SELECT label, count(*) AS n_vecs, round(avg(dist), 9) AS mean_dist
+       SELECT label, count(*) AS n_vecs,
+         round(CAST(sum(CAST(dist AS DECIMAL(38,15))) AS DOUBLE) / count(*), 9)
+           AS mean_dist
        FROM d GROUP BY label ORDER BY label"""
 }

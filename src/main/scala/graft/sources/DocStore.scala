@@ -94,9 +94,18 @@ object ParquetDocStore extends DocStore {
     }
 
   override def readResults(spark: SparkSession, table: String): DataFrame = {
-    // self-heal a crashed retention swap before ANY read or resume plans
-    // against the results path — not just the next deleteWhere call
-    recoverRetentionStaging(spark, table)
+    // Self-heal a crashed retention swap before ANY read or resume plans
+    // against the results path — but ONLY the intent-present (mid-swap)
+    // case, where the live dirs may already be half-swapped and recovery is
+    // required for a consistent read. Staging WITHOUT an intent file means
+    // no destructive step has run: the live table is fully consistent, so
+    // the reader leaves the staging dir alone — discarding it here would
+    // race a concurrently-running deleteWhere (staging written, intent not
+    // yet) and delete the writer's only survivor copy mid-flight.
+    // Discarding orphaned intent-less staging is the maintenance entry
+    // point's job ([[deleteWhere]]), which assumes a single maintenance
+    // process (see its scaladoc).
+    recoverRetentionStaging(spark, table, discardIntentless = false)
     spark.read.parquet(s"$table/results")
   }
 
@@ -159,10 +168,16 @@ object ParquetDocStore extends DocStore {
     * the class of gap the `DocStore` seam isolates. Writing to a staging
     * path also sidesteps the overwrite-while-reading restriction of
     * path-based sources.
+    *
+    * Concurrency contract: at most ONE maintenance process (deleteWhere /
+    * rollback) per table at a time — this call discards orphaned staging
+    * from a previous crash, which would race a second concurrent
+    * deleteWhere. Concurrent READERS are safe: readResults only ever rolls
+    * a swap forward when the intent file proves the live dirs need it.
     */
   override def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    recoverRetentionStaging(spark, table)
+    recoverRetentionStaging(spark, table, discardIntentless = true)
     val hit = coalesce(predicate, lit(false)) // NULL predicate = keep (SQL DELETE)
     val results = readResults(spark, table)
     val affected = results.filter(hit)
@@ -216,7 +231,14 @@ object ParquetDocStore extends DocStore {
     * direction:
     *
     *  - intent ABSENT → the swap never started and the results dirs were
-    *    never touched: ROLL BACK by discarding the partial staging dir;
+    *    never touched: ROLL BACK by discarding the partial staging dir —
+    *    but ONLY when `discardIntentless` (the maintenance entry points,
+    *    which assume a single maintenance process). Readers pass `false`
+    *    and leave intent-less staging untouched: the live table is
+    *    consistent in that phase, and discarding would race an in-flight
+    *    deleteWhere from another process (its staging deleted under it,
+    *    then its swap silently skips the rename after deleting the live
+    *    dir — the bucket's only copy gone);
     *  - intent PRESENT → the swap was mid-flight: ROLL FORWARD per bucket
     *    by its recorded class. `d:` buckets (fully deleted, never had a
     *    staging dir) get their live dir deleted — idempotent. `s:` buckets
@@ -231,11 +253,13 @@ object ParquetDocStore extends DocStore {
     * or resume run self-heals a crashed swap instead of serving the
     * half-swapped table until the next retention pass.
     */
-  private def recoverRetentionStaging(spark: SparkSession, table: String): Unit = {
+  private def recoverRetentionStaging(
+      spark: SparkSession, table: String, discardIntentless: Boolean): Unit = {
     val f = fs(spark, table)
     val staging = new Path(s"$table/_retention_staging")
     if (!f.exists(staging)) return
     val intentFile = new Path(staging, "_affected")
+    if (!f.exists(intentFile) && !discardIntentless) return
     if (f.exists(intentFile)) {
       val in = f.open(intentFile)
       val entries =
