@@ -44,29 +44,74 @@ object FileResumableExtract {
 
   private def manifestDir(out: String) = new Path(s"$out/_manifest")
 
-  def fileId(baseName: String): String = {
+  /** File id = md5 of the input file's ROOT-RELATIVE path (not the bare
+    * basename): nested layouts (date partitions, Iceberg data dirs) reuse
+    * basenames like `part-00000.parquet` across subdirs, which would
+    * collide into one id — one file's commit marker silently masking
+    * another's pending work. For a flat input dir the relative path IS the
+    * basename, so flat-layout ids (and existing manifests) are unchanged.
+    */
+  def fileId(relPath: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest(relPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
 
+  /** The input root's decoded absolute filesystem path — the prefix
+    * stripped to form root-relative ids on both the driver (listing) and
+    * executor ([[fileIdFromUri]]) sides.
+    */
+  def rootFsPath(spark: SparkSession, inPath: String): String =
+    fs(spark, inPath).getFileStatus(new Path(inPath)).getPath.toUri.getPath
+
   /** `input_file_name()` returns the task's file as a URL-ENCODED URI
     * string; the driver-side manifest ids are computed from the RAW
-    * basename (`Path.getName`). Both sides must hash the same string, or a
-    * basename needing encoding (space, `%`, non-ASCII) would write output
-    * under one id and its commit marker under another — rollback would
-    * then delete committed output. `URI.getPath` percent-decodes without
-    * `+`-to-space mangling (unlike URLDecoder), recovering the raw name.
+    * root-relative path. Both sides must hash the same string, or a path
+    * needing encoding (space, `%`, non-ASCII) would write output under one
+    * id and its commit marker under another — rollback would then delete
+    * committed output. `URI.getPath` percent-decodes without `+`-to-space
+    * mangling (unlike URLDecoder), recovering the raw path; `rootPath` is
+    * the driver-resolved [[rootFsPath]], captured into the task closure.
     */
-  def fileIdFromUri(fileUri: String): String =
-    fileId(new Path(new java.net.URI(fileUri).getPath).getName)
+  def fileIdFromUri(rootPath: String, fileUri: String): String = {
+    val abs = new java.net.URI(fileUri).getPath
+    val rel =
+      if (abs.startsWith(rootPath + "/")) abs.substring(rootPath.length + 1)
+      else new Path(abs).getName // input root was a single file
+    fileId(rel)
+  }
 
-  def inputFiles(spark: SparkSession, inPath: String): Seq[String] = {
-    val dir = new Path(inPath)
-    fs(spark, inPath).listStatus(dir).iterator
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      .map(_.toString).toSeq.sorted
+  /** RECURSIVE input listing: nested layouts (date partitions, Iceberg-ish
+    * `data/` trees) are first-class, not silently skipped. Any path
+    * component starting with `_` or `.` is excluded (metadata dirs like
+    * `_manifest`, `_SUCCESS`, hidden temp dirs) — the same convention
+    * Spark's own file index applies.
+    */
+  def inputFiles(spark: SparkSession, inPath: String): Seq[String] =
+    inputFilesWithIds(spark, inPath).map(_._1)
+
+  /** (absolute path, file id) pairs — the id hashed from the root-relative
+    * path (see [[fileId]]). One listing feeds the scan, the manifest
+    * anti-join, and the commit roll-up.
+    */
+  def inputFilesWithIds(spark: SparkSession, inPath: String): Seq[(String, String)] = {
+    val f = fs(spark, inPath)
+    val root = f.getFileStatus(new Path(inPath)).getPath
+    val rootPath = root.toUri.getPath
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val abs = p.toUri.getPath
+      val rel =
+        if (abs.startsWith(rootPath + "/")) abs.substring(rootPath.length + 1)
+        else p.getName // root itself is a file
+      if (p.getName.endsWith(".parquet") &&
+        rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith(".")))
+        buf += ((p.toString, fileId(rel)))
+    }
+    buf.sortBy(_._1).toSeq
   }
 
   /** Committed = present in any roll-up manifest OR as a loose
@@ -211,9 +256,54 @@ object FileResumableExtract {
       .drop("_rn", "run")
   }
 
+  /** The extracted results table, retention-consistent: rolls a crashed
+    * [[deleteWhere]] swap forward first (intent-present only — the
+    * reader-safe recovery scope, see [[graft.sources.RetentionSwap]]).
+    * Partition-type inference is OFF for the read so `file_id` stays a
+    * STRING — an all-digit hex id set would otherwise infer DECIMAL,
+    * dropping leading zeros (and a retention rewrite would then stage
+    * partitions under the wrong dir names).
+    */
+  def readResults(spark: SparkSession, out: String): DataFrame = {
+    graft.sources.RetentionSwap.recover(
+      spark, out, "file_id", discardIntentless = false)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey, "true")
+    try {
+      spark.conf.set(inferKey, "false")
+      spark.read.parquet(s"$out/results")
+    } finally spark.conf.set(inferKey, prev)
+  }
+
+  /** Retention delete on the file-granular layout (the declared 100 TB
+    * default protocol) — `DELETE FROM results WHERE predicate` via the
+    * shared [[graft.sources.RetentionSwap]] staged partition-swap, exactly
+    * the bucket store's protocol with `file_id=` partitions. The commit
+    * manifest is untouched: a purged input file stays committed, so a
+    * subsequent resume run remains a no-op and deleted documents are never
+    * re-extracted from still-present input. Single maintenance process per
+    * output dir (see RetentionSwap's concurrency contract); concurrent
+    * readers and resume runs only ever roll a swap forward.
+    */
+  def deleteWhere(spark: SparkSession, out: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    graft.sources.RetentionSwap.deleteWhere(spark, out, "file_id", predicate,
+      () => readResults(spark, out))
+
+  /** Test-only injected crash (see `run`'s `failAfter`): thrown AFTER the
+    * named phase completes, simulating a kill in the window before the next
+    * phase starts — the randomized kill-point sweep in FileResumeSpec
+    * drives it.
+    */
+  final case class InjectedKill(point: String)
+    extends RuntimeException(s"injected kill after phase '$point'")
+
   /** One (re)start. Returns docs processed by THIS invocation.
     * `timings`, when supplied, receives per-phase wall seconds
     * (rollback / write / metrics / commit) for scaling diagnosis.
+    * `failAfter` (tests only) throws [[InjectedKill]] after the named
+    * phase ("rollback" | "write" | "metrics"), simulating a crash in each
+    * inter-phase window.
     */
   def run(
       spark: SparkSession,
@@ -221,21 +311,28 @@ object FileResumableExtract {
       outPath: String,
       table: Seq[CanonicalSignature] = SignatureTable.Default,
       onlyFiles: Option[Set[String]] = None,
-      timings: Option[scala.collection.mutable.Map[String, Double]] = None): Long = {
+      timings: Option[scala.collection.mutable.Map[String, Double]] = None,
+      failAfter: Option[String] = None): Long = {
     import spark.implicits._
     def timed[A](phase: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
       timings.foreach(m => m(phase) = m.getOrElse(phase, 0.0) +
         (System.nanoTime() - t0) / 1e9)
+      if (failAfter.contains(phase)) throw InjectedKill(phase)
       r
     }
+    // roll a crashed retention swap FORWARD first (intent-present only —
+    // same reader-safe scope as readResults): affected file_ids stay
+    // committed in the manifest, so without recovery the resume below
+    // would neither restore nor reprocess their half-swapped output
+    graft.sources.RetentionSwap.recover(
+      spark, outPath, "file_id", discardIntentless = false)
     val done = completedFileIds(spark, outPath)
     timed("rollback")(rollbackUncommitted(spark, outPath, done))
-    // basenames hashed ONCE per restart; the id list feeds the scan filter,
-    // the metrics partition intersection, and the commit roll-up
-    val pendingPairs = inputFiles(spark, inPath)
-      .map(p => p -> fileId(new Path(p).getName))
+    // relative paths hashed ONCE per restart; the id list feeds the scan
+    // filter, the metrics partition intersection, and the commit roll-up
+    val pendingPairs = inputFilesWithIds(spark, inPath)
       .filter { case (_, id) =>
         !done.contains(id) && onlyFiles.forall(_.contains(id))
       }
@@ -246,6 +343,7 @@ object FileResumableExtract {
     // Scan ONLY the pending files; no shuffle anywhere in the job.
     val bc = spark.sparkContext.broadcast(table)
     val nb = ExtractJob.NumBuckets // driver-side capture (cluster-safe)
+    val rootPath = rootFsPath(spark, inPath) // driver-side capture too
     val results0 = spark.read.parquet(pending: _*)
       .select(col("doc_id").as("_1"), col("spans").as("_2"),
         input_file_name().as("_3"))
@@ -261,7 +359,7 @@ object FileResumableExtract {
         // distinct file per task).
         val fidMemo = new scala.collection.mutable.HashMap[String, String]()
         iter.map { case (docId, spans, uri) =>
-          val fid = fidMemo.getOrElseUpdate(uri, fileIdFromUri(uri))
+          val fid = fidMemo.getOrElseUpdate(uri, fileIdFromUri(rootPath, uri))
           (ExtractJob.rowOf(InputDoc(docId, spans), pool, pid, nb), fid)
         }
       }

@@ -1,0 +1,131 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.corpus.CorpusGen
+import graft.parse.DocParser
+import java.nio.file.Files
+
+/** Retention delete on the file-granular (zero-shuffle, 100 TB-default)
+  * layout: deleteWhere removes exactly the matching rows via the shared
+  * RetentionSwap protocol, the commit manifest stays intact (no input
+  * reprocessing, no resurrection), and an interrupted swap self-heals on
+  * the next maintenance call AND on the resume/read path.
+  */
+class FileRetentionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("file-retention-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hashes(out: String): Map[String, String] = {
+    import spark.implicits._
+    FileResumableExtract.readResults(spark, out)
+      .select("doc_id", "spans").as[(String, Seq[graft.model.OutSpan])]
+      .collect().map { case (d, s) => d -> DocParser.spanHash(s) }.toMap
+  }
+
+  test("deleteWhere on the file-granular store drops matching rows, keeps manifest + survivors intact") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fret_").toString
+    val in = s"$base/docs"
+    spark.range(0, 200, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 200L)
+    val before = hashes(out)
+    val manifestBefore = FileResumableExtract.completedFileIds(spark, out)
+    assert(manifestBefore.size == 4)
+
+    // victims: every doc of one whole input file (exercises the
+    // fully-deleted-partition d: path) plus a handful from other files
+    val all = FileResumableExtract.readResults(spark, out)
+      .select("doc_id", "file_id").as[(String, String)].collect()
+    val fullFile = all.groupBy(_._2).maxBy(_._2.length)._1
+    val victims = (all.filter(_._2 == fullFile).map(_._1) ++
+      all.filter(_._2 != fullFile).take(5).map(_._1)).toSet
+    assert(victims.nonEmpty && victims.size < 200)
+
+    val deleted = FileResumableExtract.deleteWhere(
+      spark, out, col("doc_id").isin(victims.toSeq: _*))
+    assert(deleted == victims.size.toLong)
+
+    val after = hashes(out)
+    assert(after.keySet == before.keySet -- victims, "wrong rows removed")
+    assert(after == before.view.filterKeys(!victims(_)).toMap,
+      "a surviving row changed")
+    assert(!new java.io.File(s"$out/results/file_id=$fullFile").exists(),
+      "fully-deleted partition dir not removed")
+
+    // manifest untouched: files stay committed, resume is still a no-op,
+    // deleted docs are NOT resurrected from the still-present input
+    assert(FileResumableExtract.completedFileIds(spark, out) == manifestBefore)
+    assert(FileResumableExtract.run(spark, in, out) == 0L)
+    assert(hashes(out).keySet == before.keySet -- victims)
+
+    // deleting nothing is a no-op
+    assert(FileResumableExtract.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
+    assert(hashes(out) == after)
+  }
+
+  test("interrupted retention swap self-heals: run/read roll forward, deleteWhere discards orphans") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_fret_rec_").toString
+    val in = s"$base/docs"
+    spark.range(0, 120, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 120L)
+    val before = hashes(out)
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Simulate a kill in deleteWhere's data-loss window with all three
+    // partition shapes (the DocStoreSpec scenario on file_id partitions):
+    //   fx FULLY deleted (d:, live dir still present — recovery completes
+    //      the delete), fy mid-swap (s:, survivors only in staging),
+    //   fz already swapped (s:, staging gone — recovery must not touch it)
+    val fids = FileResumableExtract.completedFileIds(spark, out).toSeq.sorted
+    val Seq(fx, fy, fz) = fids.take(3)
+    val xDocs = FileResumableExtract.readResults(spark, out)
+      .filter(col("file_id") === fx).select("doc_id").as[String].collect().toSet
+    val staging = new Path(s"$out/_retention_staging")
+    f.mkdirs(staging)
+    assert(f.rename(new Path(s"$out/results/file_id=$fy"),
+      new Path(staging, s"file_id=$fy")))
+    f.create(new Path(staging, "_SUCCESS"), true).close()
+    val intent = f.create(new Path(staging, "_affected"), true)
+    intent.write(s"d:$fx\ns:$fy\ns:$fz".getBytes("UTF-8")); intent.close()
+
+    // a RESUME RUN (not just the next deleteWhere) must roll the swap
+    // forward before planning: the manifest still lists fx/fy as committed,
+    // so without recovery their half-swapped output would stay wrong
+    assert(FileResumableExtract.run(spark, in, out) == 0L)
+    assert(!f.exists(staging), "staging dir not cleaned up by run()")
+    assert(!f.exists(new Path(s"$out/results/file_id=$fx")),
+      "fully-deleted partition resurrected by recovery")
+    assert(f.exists(new Path(s"$out/results/file_id=$fz")),
+      "already-swapped partition destroyed by recovery")
+    assert(hashes(out) == before.view.filterKeys(!xDocs(_)).toMap,
+      "recovery lost or changed surviving rows")
+    val after = hashes(out)
+
+    // an UNCOMMITTED staging dir (no _affected intent: crash before the
+    // swap started): readers and resume leave it alone (it may belong to a
+    // live writer); the next deleteWhere — the maintenance entry point —
+    // discards it
+    f.mkdirs(new Path(staging, s"file_id=$fy"))
+    f.create(new Path(staging, "_SUCCESS"), true).close()
+    assert(hashes(out) == after) // readResults: no destructive self-heal
+    assert(f.exists(staging), "reader discarded intent-less staging")
+    assert(FileResumableExtract.run(spark, in, out) == 0L)
+    assert(f.exists(staging), "resume run discarded intent-less staging")
+    assert(FileResumableExtract.deleteWhere(spark, out, col("doc_id") === "no_such") == 0L)
+    assert(!f.exists(staging), "maintenance did not discard orphaned staging")
+    assert(hashes(out) == after)
+  }
+}
