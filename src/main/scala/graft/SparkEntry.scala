@@ -30,6 +30,7 @@ object SparkEntry {
     "x5_block_classify" -> (ExtractQueries.blockClassify _),
     "a3_signature_stats" -> (ExtractQueries.signatureStats _),
     "a4_usage_snapshot" -> (ExtractQueries.usageSnapshot _),
+    "a4b_usage_counters" -> (ExtractQueries.usageCounters _),
     "a5_rules_stats" -> (ExtractQueries.rulesStats _),
     "a6_field_accuracy" -> (ExtractQueries.fieldAccuracy _),
     "a7_eval_prf" -> (ExtractQueries.evalPrf _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "x3_extract_spans" -> ExtractQueries.extractSpansSql,
     "x4_rule_fields" -> ExtractQueries.ruleFieldsSql,
     "x5_block_classify" -> ExtractQueries.blockClassifySql,
+    "a4b_usage_counters" -> ExtractQueries.usageCountersSql,
     "a5_rules_stats" -> ExtractQueries.rulesStatsSql,
     "a6_field_accuracy" -> ExtractQueries.fieldAccuracySql,
     "a7_eval_prf" -> ExtractQueries.evalPrfSql,
