@@ -175,7 +175,7 @@ object FuzzGen {
     }
 
     val body = emailBodyText(rng)
-    rng.nextInt(7) match {
+    rng.nextInt(9) match {
       case 0 => // bare single-part, no content-type at all
         sb.append(nl).append(body.replace("\n", nl)).append(nl)
       case 1 => // single-part quoted-printable
@@ -245,6 +245,61 @@ object FuzzGen {
         // swallowed per part -> the body contributes NOTHING
         sb.append(s"Content-Type: text/plain; charset=bogus-${rng.nextInt(9)}$nl$nl")
         sb.append(body.replace("\n", nl)).append(nl)
+      case 7 => // declared boundary that never OPENS a part: CPython's
+        // StartBoundaryNotFoundDefect — is_multipart() False, singlepart
+        // decode of the surviving payload (whole body, or the preamble
+        // before a closing-terminator line with its newline kept)
+        val b = s"nb${rng.range(10, 99)}"
+        sb.append(s"""Content-Type: multipart/mixed; boundary="$b"$nl""")
+        rng.nextInt(3) match {
+          case 0 => // boundary absent entirely; top-level CTE must apply
+            if (rng.chance(0.5)) {
+              sb.append(s"Content-Transfer-Encoding: base64$nl$nl")
+              sb.append(b64Wrapped(rng, body, nl)).append(nl)
+            } else {
+              sb.append(nl).append(body.replace("\n", nl)).append(nl)
+            }
+          case 1 => // ONLY the closing terminator: payload = the preamble
+            sb.append(nl).append(body.replace("\n", nl)).append(nl)
+            sb.append(s"--$b--${rng.pick(Vector("", " ", "\t"))}$nl")
+            sb.append(s"epilogue ${word(rng)}$nl")
+          case 2 => // '--b--junk' is CONTENT, not a terminator
+            sb.append(nl)
+            sb.append(s"pre ${word(rng)}$nl--$b--junk$nl${sentence(rng)}$nl")
+        }
+      case 8 => // charset-ALIAS spellings Python's codec registry resolves
+        // (Java's Charset.forName alone rejects most of these): the part
+        // must decode, not collapse to "" like the bogus-charset wave
+        val (alias, javaCs, payload) = rng.pick(Vector(
+          ("latin-1", "ISO-8859-1", "café au lait"),
+          ("latin_1", "ISO-8859-1", "naïve résumé"),
+          ("LATIN1", "ISO-8859-1", "über draft"),
+          ("l1", "ISO-8859-1", "plain ascii body"),
+          ("iso8859", "ISO-8859-1", "¡Hola señor!"),
+          ("cp1252", "windows-1252", "dash – euro €"),
+          ("windows_1252", "windows-1252", "quotes ‘x’ and “y”"),
+          ("1252", "windows-1252", "ellipsis … here"),
+          ("us_ascii", "US-ASCII", "seven bit text"),
+          ("646", "US-ASCII", "ancient alias"),
+          ("utf8", "UTF-8", "données 東京都"),
+          ("UTF", "UTF-8", "crème brûlée"),
+          ("cp65001", "UTF-8", "złoty Ωmega"),
+          ("macintosh", "x-MacRoman", "café mac • note"),
+          ("koi8_r", "KOI8-R", "Привет мир"),
+          ("cyrillic", "ISO-8859-5", "текст письма"),
+          ("greek", "ISO-8859-7", "ελληνικά"),
+          ("hebrew", "ISO-8859-8", "שלום"),
+          ("shift_jis", "Shift_JIS", "日本語テキスト"),
+          ("sjis", "Shift_JIS", "カタカナ"),
+          ("euc_jp", "EUC-JP", "漢字かな"),
+          ("gb2312", "GB2312", "中文文本"),
+          ("gbk", "GBK", "中文字符"),
+          ("big5", "Big5", "中文測試"),
+          ("tis-620", "TIS-620", "ภาษาไทย")))
+        sb.append(s"Content-Type: text/plain; charset=$alias$nl")
+        sb.append(s"Content-Transfer-Encoding: base64$nl$nl")
+        val bytes = payload.getBytes(java.nio.charset.Charset.forName(javaCs))
+        sb.append(java.util.Base64.getEncoder.encodeToString(bytes)).append(nl)
     }
     sb.toString
   }

@@ -46,13 +46,24 @@ object EmailParser {
         .map(v => f.toLowerCase -> pyHeaderStr(v))
     }.toMap
     val ctype = contentType(allHeaders)
-    val multipart = ctype.startsWith("multipart/") &&
+    val declaredMultipart = ctype.startsWith("multipart/") &&
       param(allHeaders.getOrElse("content-type", ""), "boundary").isDefined
+    // A declared boundary that never OPENS a part is CPython's
+    // StartBoundaryNotFoundDefect: the payload stays a string,
+    // is_multipart() returns False, and the reference's singlepart branch
+    // decodes it with the top-level CTE/charset (verified live). The
+    // surviving payload is the preamble — everything before the first
+    // closing-terminator line if one exists (its preceding line terminator
+    // KEPT, unlike a real part flush), else the whole body.
+    val parts =
+      if (declaredMultipart)
+        partsOf(body, param(allHeaders("content-type"), "boundary").get)
+      else Seq.empty
+    val multipart = declaredMultipart && parts.nonEmpty
     val bodyText =
       if (multipart) {
-        val boundary = param(allHeaders("content-type"), "boundary").get
         val sb = new StringBuilder
-        partsOf(body, boundary).foreach { part =>
+        parts.foreach { part =>
           val (ph, pb) = splitHeadersBody(part)
           val pHeaders = parseHeaders(ph)
           if (contentType(pHeaders) == "text/plain") {
@@ -60,12 +71,41 @@ object EmailParser {
           }
         }
         PyCompat.pyStrip(sb.toString)
+      } else if (declaredMultipart) {
+        val boundary = param(allHeaders("content-type"), "boundary").get
+        PyCompat.pyStrip(
+          decodePayload(noStartBoundaryPayload(body, boundary), allHeaders))
       } else {
         PyCompat.pyStrip(decodePayload(body, allHeaders))
       }
     val fullText = createFullText(headers, bodyText)
     val layout = createLayout(headers, bodyText)
     Parsed(headers, fullText, layout, multipart)
+  }
+
+  /** The payload CPython leaves behind when a declared boundary never opens
+    * a part: the text before the first closing-terminator line (`--b--` +
+    * optional ws as a full line), or the whole body when no such line
+    * exists. The line terminator BEFORE the end line stays in the payload
+    * ('pre\n--b--\nep' → 'pre\n'; verified live), unlike a real part flush
+    * where it belongs to the delimiter.
+    */
+  private def noStartBoundaryPayload(body: String, boundary: String): String = {
+    val delim = "--" + boundary + "--"
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      val nl = body.indexOf('\n', i)
+      val lineEnd = if (nl < 0) n else nl
+      val lineRaw = body.substring(i, lineEnd)
+      val line = if (lineRaw.endsWith("\r")) lineRaw.dropRight(1) else lineRaw
+      if (line.startsWith(delim) &&
+        line.substring(delim.length).forall(c => c == ' ' || c == '\t'))
+        return body.substring(0, i)
+      if (nl < 0) return body
+      i = nl + 1
+    }
+    body
   }
 
   /** Split raw message into header lines and body. Header lines carry the
@@ -319,15 +359,86 @@ object EmailParser {
   private def hexVal(b: Byte): Int =
     if (b <= '9') b - '0' else (b & 0xdf) - 'A' + 10
 
+  /** Python `encodings.normalize_encoding` on a lowercased name (codecs.c
+    * lowercases before the search function runs): ASCII alphanumerics and
+    * '.' kept, any run of other chars collapses to ONE '_', no leading '_'.
+    */
+  private[parse] def pyNormalizeCharset(name: String): String = {
+    val sb = new StringBuilder(name.length)
+    var punct = false
+    name.toLowerCase.foreach { c =>
+      if ((c < 128 && Character.isLetterOrDigit(c)) || c == '.') {
+        if (punct && sb.nonEmpty) sb.append('_')
+        sb.append(c)
+        punct = false
+      } else punct = true
+    }
+    sb.toString
+  }
+
+  /** Python codec aliases → Java charset names, keyed on the
+    * [[pyNormalizeCharset]] form. Python's codec registry resolves many
+    * spellings Java's `Charset.forName` rejects (`latin-1`, `utf_8`,
+    * `macintosh`, …) — without this table those parts would wrongly decode
+    * to "" while the reference decodes them. Entries derive from executing
+    * `codecs.lookup` on the alias set (each maps to a codec whose decoder
+    * agrees with the Java charset on valid input; errors='ignore' drops
+    * invalid input on both sides). Known residual: Python-only codecs with
+    * no Java twin (utf-7 has no Java decoder) still return "".
+    */
+  private val PyCharsetAliases: Map[String, String] = Map(
+    // iso8859-1 family (Python canonical latin_1)
+    "latin_1" -> "ISO-8859-1", "latin1" -> "ISO-8859-1", "latin" -> "ISO-8859-1",
+    "l1" -> "ISO-8859-1", "8859" -> "ISO-8859-1", "cp819" -> "ISO-8859-1",
+    "iso_8859_1" -> "ISO-8859-1", "iso8859_1" -> "ISO-8859-1", "iso8859" -> "ISO-8859-1",
+    // other iso8859 parts + their language aliases
+    "latin2" -> "ISO-8859-2", "l2" -> "ISO-8859-2",
+    "iso_8859_2" -> "ISO-8859-2", "iso8859_2" -> "ISO-8859-2",
+    "cyrillic" -> "ISO-8859-5", "iso_8859_5" -> "ISO-8859-5", "iso8859_5" -> "ISO-8859-5",
+    "arabic" -> "ISO-8859-6", "iso_8859_6" -> "ISO-8859-6", "iso8859_6" -> "ISO-8859-6",
+    "greek" -> "ISO-8859-7", "iso_8859_7" -> "ISO-8859-7", "iso8859_7" -> "ISO-8859-7",
+    "hebrew" -> "ISO-8859-8", "iso_8859_8" -> "ISO-8859-8", "iso8859_8" -> "ISO-8859-8",
+    "latin9" -> "ISO-8859-15", "l9" -> "ISO-8859-15",
+    "iso_8859_15" -> "ISO-8859-15", "iso8859_15" -> "ISO-8859-15",
+    // unicode transforms
+    "utf_8" -> "UTF-8", "utf8" -> "UTF-8", "u8" -> "UTF-8",
+    "utf" -> "UTF-8", "cp65001" -> "UTF-8",
+    "utf_16" -> "UTF-16", "utf16" -> "UTF-16", "u16" -> "UTF-16",
+    "utf_16_le" -> "UTF-16LE", "utf_16_be" -> "UTF-16BE",
+    "utf_32" -> "UTF-32", "utf32" -> "UTF-32",
+    "utf_32_le" -> "UTF-32LE", "utf_32_be" -> "UTF-32BE",
+    // ascii
+    "ascii" -> "US-ASCII", "us_ascii" -> "US-ASCII",
+    "646" -> "US-ASCII", "cp367" -> "US-ASCII",
+    // windows / dos / mac code pages
+    "cp1252" -> "windows-1252", "windows_1252" -> "windows-1252",
+    "1252" -> "windows-1252",
+    "cp437" -> "IBM437", "437" -> "IBM437", "ibm437" -> "IBM437",
+    "mac_roman" -> "x-MacRoman", "macroman" -> "x-MacRoman",
+    "macintosh" -> "x-MacRoman",
+    // cyrillic / cjk / thai
+    "koi8_r" -> "KOI8-R",
+    "shift_jis" -> "Shift_JIS", "sjis" -> "Shift_JIS", "s_jis" -> "Shift_JIS",
+    "shiftjis" -> "Shift_JIS",
+    "euc_jp" -> "EUC-JP", "eucjp" -> "EUC-JP",
+    "gb2312" -> "GB2312",
+    "gbk" -> "GBK", "936" -> "GBK", "cp936" -> "GBK",
+    "big5" -> "Big5", "big5_tw" -> "Big5",
+    "tis_620" -> "TIS-620")
+
   /** `bytes.decode(charset, errors='ignore')` — with the reference's
     * exception semantics: an UNKNOWN charset raises LookupError inside
     * `payload.decode`, which `_extract_body`'s per-part `except` swallows,
     * so that part contributes an EMPTY string (verified live:
     * charset=bogus-charset → body ''). Falling back to utf-8 here would
-    * instead decode content the reference drops.
+    * instead decode content the reference drops. Name resolution goes
+    * through the Python alias table first ([[PyCharsetAliases]]) so
+    * spellings Python accepts but Java rejects don't wrongly return "".
     */
-  private def decodeIgnore(bytes: Array[Byte], charset: String): String = {
-    val cs = try Charset.forName(charset) catch { case _: Exception => return "" }
+  private[parse] def decodeIgnore(bytes: Array[Byte], charset: String): String = {
+    val resolved =
+      PyCharsetAliases.getOrElse(pyNormalizeCharset(charset), charset)
+    val cs = try Charset.forName(resolved) catch { case _: Exception => return "" }
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.IGNORE)
       .onUnmappableCharacter(CodingErrorAction.IGNORE)
