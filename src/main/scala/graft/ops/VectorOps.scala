@@ -24,7 +24,7 @@ object VectorOps {
     * ([[graft.functions.DotProduct]]); bit-identical to the HOF
     * `aggregate(zip_with(...))` formulation the DuckDB oracles mirror.
     */
-  private[ops] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotProduct(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))

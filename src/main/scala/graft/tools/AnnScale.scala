@@ -45,6 +45,30 @@ object AnnScale {
         (p(d) + 0.05 * gauss(i * 999983L + d * 104729L)).toFloat)
     } else baseVec(i, dim)
 
+  /** Exact ground truth at sizes where all-pairs is infeasible: exact
+    * cosines over the PLANTED candidate pairs only ((i-1, i) for i%10==0,
+    * cosine ≈ 0.9987). Pair cosines of independent 64-dim gaussians are
+    * ~N(0, 1/64) (σ = 0.125); even the max over the 5·10¹¹ pairs at n=10⁶
+    * is ≈ σ·√(2·ln 5·10¹¹) ≈ 0.92 — far below the planted band, so the
+    * global exact top-k IS the planted top-k. One linear scan + a k-limit,
+    * no quadratic work.
+    */
+  private def plantedExact(emb: DataFrame, k: Int): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val dot = graft.ops.VectorOps.dot _
+    val dups = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") > 0)
+      .select((col("vec_id") - 1).as("doc_a"), col("vec_id").as("doc_b"),
+        col("embedding").as("eb"))
+    val base = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    dups.join(base, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("doc_a")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.getOrElse("2000,10000,50000")
       .split(",").map(_.trim.toInt).toSeq
@@ -76,13 +100,19 @@ object AnnScale {
       }
 
       val (lshPairs, lshSec) = pairs(DedupOps.lshNearDupOn(e, bits, tables, TopK))
-      val (exactPairs, exactSec) =
-        if (n <= ExactCap) pairs(DedupOps.embedNearDupOn(e, TopK))
-        else (Set.empty[(Long, Long)], -1.0)
+      val (exactPairs, exactSec, exactMode) =
+        if (n <= ExactCap) {
+          val (p, s) = pairs(DedupOps.embedNearDupOn(e, TopK))
+          (p, s, "all_pairs")
+        } else {
+          val t0 = System.nanoTime()
+          val p = plantedExact(e, TopK)
+          (p, (System.nanoTime() - t0) / 1e9, "planted")
+        }
       val recall =
         if (exactPairs.nonEmpty) (lshPairs & exactPairs).size.toDouble / exactPairs.size
         else -1.0
-      println(f"""{"bench":"ann_scale","n":$n,"bits":$bits,"tables":$tables,"lsh_sec":$lshSec%.2f,"exact_sec":$exactSec%.2f,"recall_vs_exact":$recall%.3f,"pairs_space":${n.toLong * (n - 1) / 2}}""")
+      println(f"""{"bench":"ann_scale","n":$n,"bits":$bits,"tables":$tables,"lsh_sec":$lshSec%.2f,"exact_sec":$exactSec%.2f,"exact_mode":"$exactMode","recall_vs_exact":$recall%.3f,"pairs_space":${n.toLong * (n - 1) / 2}}""")
       e.unpersist()
     }
     spark.stop()
