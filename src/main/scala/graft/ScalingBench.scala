@@ -45,6 +45,22 @@ object ScalingBench {
         .appName(s"graft-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
+        // Scan-split granularity — the SAME tuning JobSession gives every
+        // production main; measuring without it was the root cause of the
+        // round-3/4 sf2.0 parse-efficiency mystery. With Spark's defaults
+        // (128m splits, 4m open cost, minPartitionNum = cores) sf2.0's
+        // 600 × 0.53m files pack into ~21 scan partitions at EVERY level:
+        // 5+ even waves at 4 cores but 1.3 waves at 16 — five cores run two
+        // tasks while eleven idle, capping parse efficiency at ~0.65
+        // (measured 0.62-0.66 across five pairs, two rounds, while the
+        // same-hour pure-thread ceiling read 0.86-0.94). sf1.0's ~16
+        // partitions happened to make ONE even wave at 16 cores, which is
+        // why it scaled at ceiling and the effect looked corpus-size-
+        // dependent. Fix: floor the partition count at 4 waves per core
+        // (no effect at cluster scale, where the byte cap dominates).
+        .config("spark.sql.files.maxPartitionBytes",
+          sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.minPartitionNum", (cpus * 4).toString)
         .config("spark.ui.enabled", "false")
         // Shuffle-local storage on tmpfs: on a real cluster every executor
         // brings its own shuffle disks (they scale with cluster size); this
@@ -57,6 +73,9 @@ object ScalingBench {
 
       val docs = ExtractJob.readDocs(spark, corpus).cache()
       val nDocs = docs.count() // materialize: isolate parse from disk noise
+      // task granularity under measurement — waves = partitions / cores;
+      // anything under ~3 waves exposes the level to quantization idle
+      val nParts = docs.rdd.getNumPartitions
 
       def parseOnce(): Unit = {
         ExtractJob.extract(spark, docs)
@@ -118,7 +137,7 @@ object ScalingBench {
         .mkString(",")
       // per-metric timed-run counts (sink/filesink run one fewer than
       // parse) so evidence audits see the real sample sizes
-      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"parse_iters":${parseTimes.length},"sink_iters":${sinkTimes.length},"filesink_iters":${fsTimes.length},"corpus":"$corpus"}""")
+      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_partitions":$nParts,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"parse_iters":${parseTimes.length},"sink_iters":${sinkTimes.length},"filesink_iters":${fsTimes.length},"corpus":"$corpus"}""")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File("/dev/shm/graft-bench"))
       spark.stop()
