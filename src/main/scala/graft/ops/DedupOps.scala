@@ -366,11 +366,20 @@ object DedupOps {
     // cheaper than dragging the ≤`tables`× duplicates through the
     // embedding joins, whose output rows carry two 64-element vectors.
     val cand = lshCandidatePairs(bk).distinct()
-    // exact-cosine rescore: rejoin the embeddings by id (hash joins — at
-    // scale these shuffle ids+vectors once, never the pair space)
+    // exact-cosine rescore: rejoin the embeddings by id. The embedding side
+    // is HINTED to a shuffled HASH join: the candidate stream is the big
+    // side (pairs >> vectors, and after the join each row carries two
+    // 64-float arrays), so the sort-merge strategy Spark picks once the
+    // vector table outgrows the broadcast threshold would SORT the
+    // pair-with-embeddings stream — measured at n=10⁶ (AnnScale): ~2.4·10⁸
+    // candidates × ~300 B sort input spilled >77 GB and killed the job on
+    // the local disk. A shuffled hash join builds per-partition maps on the
+    // n-row embedding side (n/partitions vectors each) and STREAMS the pair
+    // side unsorted — the scale-correct plan at any n; at test SF the hint
+    // costs nothing measurable.
     val ea = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
-    cand.join(ea, "ia").join(eb, "ib")
+    cand.join(ea.hint("SHUFFLE_HASH"), "ia").join(eb.hint("SHUFFLE_HASH"), "ib")
       .select(col("ia"), col("ib"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(desc("cosine"), col("ia"), col("ib"))

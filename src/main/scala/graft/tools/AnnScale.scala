@@ -78,6 +78,10 @@ object AnnScale {
       .appName("graft-ann-scale")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill on tmpfs, like ScalingBench: this sandbox has ONE
+      // virtual disk, a bottleneck (and at n=10⁶, a hard failure) a real
+      // cluster's per-executor shuffle volumes don't share
+      .config("spark.local.dir", "/dev/shm/graft-ann")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -116,5 +120,7 @@ object AnnScale {
       e.unpersist()
     }
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/dev/shm/graft-ann"))
   }
 }
