@@ -383,8 +383,11 @@ object EmailParser {
     * to "" while the reference decodes them. Entries derive from executing
     * `codecs.lookup` on the alias set (each maps to a codec whose decoder
     * agrees with the Java charset on valid input; errors='ignore' drops
-    * invalid input on both sides). Known residual: Python-only codecs with
-    * no Java twin (utf-7 has no Java decoder) still return "".
+    * invalid input on both sides). Known residuals: Python-only codecs
+    * with no Java twin (utf-7 has no Java decoder) still return "", and
+    * BOM-less utf-16/utf-32 input differs by default endianness (Python
+    * assumes LE, Java BE; with a BOM — the shape mail actually carries and
+    * the EmailEdgeSpec fixtures pin — both consume it identically).
     */
   private val PyCharsetAliases: Map[String, String] = Map(
     // iso8859-1 family (Python canonical latin_1)

@@ -41,6 +41,13 @@ class DedupSpec extends AnyFunSuite {
       s"d7 fell back to an all-pairs join:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"d7 fell back to a cartesian product:\n$plan")
+    // the rescore must never SORT the candidate stream: sort-merge on the
+    // pair side (chosen once the vector table outgrows the broadcast
+    // threshold) spilled >77 GB and died at n=10⁶ — the embedding sides
+    // are hinted to shuffled hash builds (AQE may upgrade to broadcast at
+    // tiny SF, which is also sort-free; only SortMergeJoin is the failure)
+    assert(!plan.contains("SortMergeJoin"),
+      s"d7 rescore sorted the candidate stream:\n$plan")
   }
 
   test("d2 posting-list pairs: no self-join, no all-pairs join") {
