@@ -72,6 +72,79 @@ class FileRetentionSpec extends AnyFunSuite {
     assert(hashes(out) == after)
   }
 
+  test("retention composes with crash/resume/compaction: deleted docs never resurrect") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fret_mix_").toString
+    val in = s"$base/docs"
+    spark.range(0, 80, 1, 8).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val allIds = FileResumableExtract.inputFiles(spark, in)
+      .map(p => FileResumableExtract.fileId(
+        new org.apache.hadoop.fs.Path(p).getName)).toSet
+    val golden = {
+      val o = s"$base/golden"
+      assert(FileResumableExtract.run(spark, in, o) == 80L)
+      hashes(o)
+    }
+
+    // Interleave partial/killed runs, manifest compaction, and retention
+    // deletes over COMMITTED files (the single-maintenance contract: no
+    // delete races an in-flight write). Committed files stay committed, so
+    // a purged doc's file is never reprocessed — across ANY interleaving
+    // the final table must be golden minus everything ever deleted.
+    val rnd = new scala.util.Random(0x52455445L)
+    val out = s"$base/out"
+    val deleted = scala.collection.mutable.Set[String]()
+    var safety = 0
+    var deletes = 0
+    while ((FileResumableExtract.completedFileIds(spark, out) != allIds
+      || deletes < 3) && safety < 60) {
+      safety += 1
+      val done = FileResumableExtract.completedFileIds(spark, out)
+      val pending = (allIds -- done).toSeq.sorted
+      if (pending.nonEmpty) {
+        val subset = rnd.shuffle(pending).take(1 + rnd.nextInt(pending.size)).toSet
+        val fail = rnd.nextInt(4) match {
+          case 0 => Some("rollback")
+          case 1 => Some("write")
+          case 2 => Some("metrics")
+          case _ => None
+        }
+        try FileResumableExtract.run(spark, in, out,
+          onlyFiles = Some(subset), failAfter = fail)
+        catch { case FileResumableExtract.InjectedKill(_) => () }
+      }
+      if (rnd.nextBoolean()) FileResumableExtract.compactManifest(spark, out)
+      if (rnd.nextInt(3) == 0 &&
+        FileResumableExtract.completedFileIds(spark, out).nonEmpty) {
+        // victims: current survivors whose file is committed
+        val committed = FileResumableExtract.completedFileIds(spark, out)
+        val candidates = FileResumableExtract.readResults(spark, out)
+          .filter(col("file_id").isin(committed.toSeq: _*))
+          .select("doc_id").as[String].collect().toSeq.sorted
+        if (candidates.nonEmpty) {
+          val victims = rnd.shuffle(candidates).take(1 + rnd.nextInt(3)).toSet
+          val n = FileResumableExtract.deleteWhere(
+            spark, out, col("doc_id").isin(victims.toSeq: _*))
+          assert(n == victims.size.toLong, s"delete count $n != ${victims.size}")
+          deleted ++= victims
+          deletes += 1
+        }
+      }
+    }
+    assert(safety < 60, "mixed sweep did not converge")
+    assert(FileResumableExtract.run(spark, in, out) == 0L) // fully resumed
+    assert(deletes >= 3 && deleted.nonEmpty)
+
+    val finalHashes = hashes(out)
+    assert(finalHashes == golden.view.filterKeys(!deleted(_)).toMap,
+      "final table != golden minus deletions (resurrection or loss)")
+    // lineage counts PROCESSING, not retention: every doc processed once
+    val docsIn = FileResumableExtract.readMetrics(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("docs_in")).head().getLong(0)
+    assert(docsIn == 80L, s"lineage drifted: $docsIn")
+  }
+
   test("interrupted retention swap self-heals: run/read roll forward, deleteWhere discards orphans") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
