@@ -53,6 +53,53 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SHARED_EXTRACT", "1") == "1"
     graft.ops.ExtractQueries.setSharedExtract(sharedExtract)
 
+    // Same-process tenancy calibration: the pure-thread parse ceiling
+    // (CoreScaling's kernel, no Spark) measured in THIS bench's window, so
+    // round-over-round per-query deltas can be read off
+    // calibration-normalized numbers instead of guessing whether a ±25%
+    // swing is the engine or the shared VM (the host's hour-to-hour
+    // variance has repeatedly exceeded real regressions).
+    val calibDocsPerSec = {
+      val n = 20000
+      val docs = (0L until n.toLong).toArray.map(graft.corpus.CorpusGen.gen)
+      def run(): Double = {
+        val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+        val t0 = System.nanoTime()
+        val ts = (1 to cpus.toInt).map { _ =>
+          new Thread(() => {
+            val pool = graft.parse.DocParser.pooled(graft.parse.SignatureTable.Default)
+            var i = idx.getAndIncrement()
+            var sink = 0L
+            while (i < docs.length) {
+              sink += graft.parse.DocParser.parse(docs(i), pool).spans.length
+              i = idx.getAndIncrement()
+            }
+            if (sink == -1) println("")
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+      run() // warmup
+      (1 to 3).map(_ => run()).max // ceiling = best of 3
+    }
+
+    // When extraction is shared, its two materializations are timed
+    // EXPLICITLY as first-class entries (included in the total) — the
+    // per-query medians below then measure post-cache query time only.
+    val materializeTimings: Seq[(String, Double)] =
+      if (!sharedExtract) Seq.empty
+      else Seq(
+        "shared_extract_plain" ->
+          (() => graft.ops.ExtractQueries.materializePlainExtract(spark, sfDir)),
+        "shared_extract_fields" ->
+          (() => graft.ops.ExtractQueries.materializeFieldsExtract(spark, sfDir)))
+        .map { case (name, f) =>
+          val t0 = System.nanoTime()
+          f()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -87,14 +134,26 @@ object Bench {
     })
     val docsPerSec = nDocs / extractSec
 
-    val allTimings = results ++ Map("extract_corpus_60k" -> extractSec)
+    val allTimings =
+      results ++ materializeTimings ++ Map("extract_corpus_60k" -> extractSec)
     val qs = allTimings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Calibration-normalized twin of every timing: seconds this query would
+    // take on a machine whose pure-thread parse ceiling is the NOMINAL
+    // 100k docs/sec (sec × calib/100k). Raw seconds move with VM tenancy;
+    // normalized seconds move with the engine.
+    val nominal = 100000.0
+    val qsNorm = allTimings.map { case (k, v) =>
+      val n = if (v < 0) -1.0 else v * calibDocsPerSec / nominal
+      s"\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
     // failed queries report -1 in `queries` and are EXCLUDED from the total
     val total = allTimings.values.filter(_ >= 0).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val maxPartBytes = sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m")
+    val minPartNum = cpus.toInt * 4
     val json =
-      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","reps":$reps,"shared_extract":$sharedExtract,"queries":$qs,"failed_queries":$fails,"extract_docs_per_sec":$docsPerSec,"extract_docs":$nDocs,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec_plus_extract_headline","value":$total,"unit":"sec","reps":$reps,"shared_extract":$sharedExtract,"queries":$qs,"queries_normalized":$qsNorm,"calibration_docs_per_sec":$calibDocsPerSec,"calibration_nominal_docs_per_sec":$nominal,"failed_queries":$fails,"extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_normalized":${docsPerSec * nominal / calibDocsPerSec},"extract_docs":$nDocs,"cpus":$cpus,"max_partition_bytes":"$maxPartBytes","min_partition_num":$minPartNum,"sf":"$sfDir"}"""
     // build.sbt sets `run / outputStrategy := StdoutOutput`, so the forked
     // JVM inherits the real stdout — this line reaches the sbt caller bare,
     // with no [info] prefix; a stderr copy covers stdout-discarding callers

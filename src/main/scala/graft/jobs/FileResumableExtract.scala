@@ -256,23 +256,30 @@ object FileResumableExtract {
       .drop("_rn", "run")
   }
 
+  /** The results table's schema, stated explicitly: [[ExtractJob.ExtractedRow]]'s
+    * columns plus the `file_id` STRING partition column. Reads pass it via
+    * `spark.read.schema(...)` so partition-type inference never runs —
+    * an all-digit hex id set would otherwise infer DECIMAL, dropping
+    * leading zeros (and a retention rewrite would then stage partitions
+    * under the wrong dir names). An explicit schema (rather than toggling
+    * `spark.sql.sources.partitionColumnTypeInference.enabled` around the
+    * read) keeps concurrent reads in one SparkSession from interleaving a
+    * session-global set/restore and leaking the wrong value to unrelated
+    * queries.
+    */
+  private[graft] val resultsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ExtractJob.ExtractedRow].schema
+      .add("file_id", org.apache.spark.sql.types.StringType)
+
   /** The extracted results table, retention-consistent: rolls a crashed
     * [[deleteWhere]] swap forward first (intent-present only — the
     * reader-safe recovery scope, see [[graft.sources.RetentionSwap]]).
-    * Partition-type inference is OFF for the read so `file_id` stays a
-    * STRING — an all-digit hex id set would otherwise infer DECIMAL,
-    * dropping leading zeros (and a retention rewrite would then stage
-    * partitions under the wrong dir names).
+    * `file_id` stays a STRING via the explicit [[resultsSchema]].
     */
   def readResults(spark: SparkSession, out: String): DataFrame = {
     graft.sources.RetentionSwap.recover(
       spark, out, "file_id", discardIntentless = false)
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(inferKey, "true")
-    try {
-      spark.conf.set(inferKey, "false")
-      spark.read.parquet(s"$out/results")
-    } finally spark.conf.set(inferKey, prev)
+    spark.read.schema(resultsSchema).parquet(s"$out/results")
   }
 
   /** Retention delete on the file-granular layout (the declared 100 TB
@@ -400,16 +407,10 @@ object FileResumableExtract {
             pendingIdSet.contains(st.getPath.getName.stripPrefix("file_id=")))
           .map(_.getPath.toString).toSeq
       if (dirs.nonEmpty) {
-        // partition-type inference OFF for this read: a pending set whose
-        // ids are all-digit hex would infer file_id as DECIMAL, silently
-        // dropping leading zeros and breaking schema merge with earlier
-        // string-typed runs
-        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prevInfer = spark.conf.get(inferKey, "true")
-        val written = try {
-          spark.conf.set(inferKey, "false")
-          spark.read.option("basePath", s"$outPath/results").parquet(dirs: _*)
-        } finally spark.conf.set(inferKey, prevInfer)
+        // explicit schema (see resultsSchema): file_id stays STRING without
+        // touching the session-global partition-type-inference conf
+        val written = spark.read.schema(resultsSchema)
+          .option("basePath", s"$outPath/results").parquet(dirs: _*)
         val runId = nextMetricsRun(f, outPath)
         ExtractJob.unitMetrics(written, "file_id")
           .withColumn("run", lit(runId))

@@ -47,6 +47,20 @@ object ExtractQueries {
       df
     })
 
+  /** Eagerly materialize the two shared extraction passes (no-ops when
+    * sharing is off). Bench calls these as their own TIMED entries so the
+    * benchmark total charges each extraction pass exactly once — hidden
+    * inside the first query's first rep, a median over reps would discard
+    * the materialization cost entirely and the total would charge
+    * extraction zero times, not once.
+    */
+  def materializePlainExtract(spark: SparkSession, dir: String): Unit = {
+    extracted(spark, dir); ()
+  }
+  def materializeFieldsExtract(spark: SparkSession, dir: String): Unit = {
+    extractedWithFields(spark, dir); ()
+  }
+
   /** The plain extraction pass over `documents` — shared by
     * x1/x2/x3/a3/a4/a4b when [[setSharedExtract]] is on.
     */

@@ -360,16 +360,29 @@ object EmailParser {
     if (b <= '9') b - '0' else (b & 0xdf) - 'A' + 10
 
   /** Python `encodings.normalize_encoding` on a lowercased name (codecs.c
-    * lowercases before the search function runs): ASCII alphanumerics and
-    * '.' kept, any run of other chars collapses to ONE '_', no leading '_'.
+    * lowercases before the search function runs): alphanumerics and '.'
+    * break punctuation runs, any run of other chars collapses to ONE '_',
+    * no leading '_'. NON-ASCII alphanumerics clear the punctuation flag but
+    * are NOT emitted (CPython skips them without marking punctuation:
+    * 'latiné1' → 'latin1', not 'latin_1'; 'a é b' → 'a__b' — both verified
+    * live). "Alphanumeric" is Python's `str.isalnum` = letters plus
+    * Nd/Nl/No number categories — `Character.isLetterOrDigit` alone misses
+    * Nl/No ('³', 'Ⅻ'); the predicate below matches CPython on every BMP
+    * codepoint except 56 Arabic-Extended-B letters added to Unicode after
+    * Java 17's tables (cross-checked exhaustively against a live dump).
     */
   private[parse] def pyNormalizeCharset(name: String): String = {
+    def isPyAlnum(c: Char): Boolean = Character.isLetter(c) || {
+      val t = Character.getType(c)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
     val sb = new StringBuilder(name.length)
     var punct = false
     name.toLowerCase.foreach { c =>
-      if ((c < 128 && Character.isLetterOrDigit(c)) || c == '.') {
+      if (isPyAlnum(c) || c == '.') {
         if (punct && sb.nonEmpty) sb.append('_')
-        sb.append(c)
+        if (c < 128) sb.append(c)
         punct = false
       } else punct = true
     }

@@ -161,7 +161,8 @@ object ParquetDocStore extends DocStore {
     * (single atomic metadata swap); this is exactly the class of gap the
     * `DocStore` seam isolates. Concurrent READERS are safe:
     * [[readResults]] only ever rolls a swap forward when the intent file
-    * proves the live dirs need it.
+    * proves the live dirs need it AND the writer's lease is stale or
+    * released — a fresh lease defers recovery to the live writer.
     */
   override def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long =
     RetentionSwap.deleteWhere(spark, table, "bucket", predicate,

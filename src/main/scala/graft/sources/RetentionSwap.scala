@@ -24,10 +24,27 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *     a failed rename aborts loudly with the staging copy preserved);
   *  6. delete the staging dir only after every swap succeeded.
   *
-  * Concurrency contract: at most ONE maintenance process per table (this
-  * call discards orphaned intent-less staging, which would race a second
-  * concurrent deleteWhere). Concurrent READERS are safe iff they recover
-  * with `discardIntentless = false` — roll-forward only.
+  * Concurrency contract — CHECKED, not merely documented, via a lease file
+  * at `<root>/_retention_lease` (a sibling of the staging dir, because the
+  * staging parquet Overwrite would destroy anything inside it):
+  *
+  *  - [[deleteWhere]] acquires the lease (create-exclusive) before touching
+  *    anything and releases it in a `finally`. A second concurrent
+  *    `deleteWhere` on the same table fails LOUDLY instead of corrupting
+  *    (its recover would otherwise discard the first call's intent-less
+  *    staging mid-write). A lease older than `graft.retention.leaseStaleMs`
+  *    (default 60s) is STALE — its holder is presumed killed (a kill leaves
+  *    the lease behind; ordinary exceptions release it) — and is taken
+  *    over.
+  *  - Concurrent READERS recover with `discardIntentless = false` (roll
+  *    forward only) and additionally REFUSE to roll forward while a FRESH
+  *    lease exists: the intent file is present during an ACTIVE swap, not
+  *    just after a crash, and a reader racing the live writer's swap loop
+  *    could delete a just-swapped live dir (the survivors' only copy). A
+  *    fresh lease means "writer may be alive — read the table as is"; the
+  *    destructive swap window is freshness-protected because the writer
+  *    re-touches the lease right before writing the intent file and
+  *    periodically during the swap loop.
   */
 private[graft] object RetentionSwap {
 
@@ -35,6 +52,62 @@ private[graft] object RetentionSwap {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def stagingPath(root: String) = new Path(s"$root/_retention_staging")
+
+  private def leasePath(root: String) = new Path(s"$root/_retention_lease")
+
+  /** How long a lease stays fresh after its last touch. Local-test
+    * overridable; at production scale set it well above the longest
+    * expected inter-touch gap (touches happen at acquire, after the
+    * staging write, and every [[LeaseTouchEvery]] partitions of the swap
+    * loop — all O(metadata), so the default is generous).
+    */
+  private def leaseStaleMs: Long =
+    sys.props.get("graft.retention.leaseStaleMs").map(_.toLong).getOrElse(60000L)
+
+  private val LeaseTouchEvery = 1000
+
+  private def leaseIsFresh(f: FileSystem, root: String): Boolean =
+    try {
+      val st = f.getFileStatus(leasePath(root))
+      System.currentTimeMillis() - st.getModificationTime < leaseStaleMs
+    } catch { case _: java.io.FileNotFoundException => false }
+
+  /** (Re)writes the lease file, refreshing its modification time. */
+  private def touchLease(f: FileSystem, root: String): Unit = {
+    val out = f.create(leasePath(root), true)
+    try out.write(
+      s"pid=${ProcessHandle.current().pid()}\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire the maintenance lease or fail loudly. A stale lease (holder
+    * presumed killed) is taken over; a fresh one aborts — the caller is
+    * racing a live maintenance process.
+    */
+  private def acquireLease(f: FileSystem, root: String): Unit = {
+    if (f.exists(leasePath(root))) {
+      if (leaseIsFresh(f, root))
+        throw new java.io.IOException(
+          s"retention: a fresh maintenance lease exists at ${leasePath(root)} — " +
+            "another deleteWhere appears active on this table (stale after " +
+            s"${leaseStaleMs}ms; override via -Dgraft.retention.leaseStaleMs)")
+      f.delete(leasePath(root), false) // stale: take over
+    }
+    // create-exclusive: two racers past the exists() check still serialize
+    // on the atomic create (HDFS; best-effort on RawLocalFileSystem)
+    val out =
+      try f.create(leasePath(root), false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"retention: lost the lease race at ${leasePath(root)}", e)
+      }
+    try out.write(
+      s"pid=${ProcessHandle.current().pid()}\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** `DELETE FROM <root>/results WHERE predicate`, swapping only affected
     * `partCol=` partitions. `readLive` supplies the live results DataFrame
@@ -47,8 +120,20 @@ private[graft] object RetentionSwap {
       partCol: String,
       predicate: Column,
       readLive: () => DataFrame): Long = {
+    val f0 = fs(spark, root)
+    acquireLease(f0, root)
+    try deleteWhereHeld(spark, root, partCol, predicate, readLive)
+    finally f0.delete(leasePath(root), false) // kill −9 leaves it → staleness
+  }
+
+  private def deleteWhereHeld(
+      spark: SparkSession,
+      root: String,
+      partCol: String,
+      predicate: Column,
+      readLive: () => DataFrame): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    recover(spark, root, partCol, discardIntentless = true)
+    recoverHeld(spark, root, partCol, discardIntentless = true)
     val hit = coalesce(predicate, lit(false)) // NULL predicate = keep (SQL DELETE)
     val results = readLive()
     // keys kept as their native type (Int bucket / String file_id) so the
@@ -82,11 +167,16 @@ private[graft] object RetentionSwap {
     val intentBody = affected.keys.map(_.toString).toSeq.sorted
       .map(k => (if (staged.contains(k)) "s:" else "d:") + k)
       .mkString("\n")
+    // lease freshness must cover the destructive window that opens with the
+    // intent write (the staging parquet write above can outlast staleness —
+    // harmless, intent-absent staging is untouchable by readers)
+    touchLease(f, root)
     val intent = f.create(new Path(staging, "_affected"), true)
     try intent.write(intentBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally intent.close()
     val resultsDir = new Path(s"$root/results")
-    affected.keys.map(_.toString).foreach { k =>
+    affected.keys.map(_.toString).zipWithIndex.foreach { case (k, i) =>
+      if (i > 0 && i % LeaseTouchEvery == 0) touchLease(f, root)
       val dst = new Path(resultsDir, s"$partCol=$k")
       if (!f.delete(dst, true) && f.exists(dst))
         throw new java.io.IOException(s"retention: could not remove $dst")
@@ -120,8 +210,36 @@ private[graft] object RetentionSwap {
     *    left alone (re-deleting it would destroy the only copy — the
     *    intent classes exist precisely because "already swapped" and
     *    "fully deleted" are indistinguishable from the staging listing).
+    *
+    * Lease gating (see the object scaladoc): a FRESH `_retention_lease`
+    * means a live [[deleteWhere]] may be mid-swap. Readers
+    * (`discardIntentless = false`) then return WITHOUT rolling forward —
+    * racing the live writer's swap loop could delete a just-swapped live
+    * dir. Maintenance callers (`discardIntentless = true`) fail loudly
+    * instead: proceeding would race the active writer destructively.
+    * A stale or absent lease (crashed or finished writer) recovers as
+    * before.
     */
   def recover(
+      spark: SparkSession,
+      root: String,
+      partCol: String,
+      discardIntentless: Boolean): Unit = {
+    val f = fs(spark, root)
+    if (leaseIsFresh(f, root)) {
+      if (discardIntentless)
+        throw new java.io.IOException(
+          s"retention recovery: a fresh maintenance lease exists at " +
+            s"${leasePath(root)} — another deleteWhere appears active")
+      return
+    }
+    recoverHeld(spark, root, partCol, discardIntentless)
+  }
+
+  /** [[recover]] body, lease check already passed (or lease held by the
+    * calling [[deleteWhere]]).
+    */
+  private def recoverHeld(
       spark: SparkSession,
       root: String,
       partCol: String,

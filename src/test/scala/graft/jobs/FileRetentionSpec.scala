@@ -201,4 +201,78 @@ class FileRetentionSpec extends AnyFunSuite {
     assert(!f.exists(staging), "maintenance did not discard orphaned staging")
     assert(hashes(out) == after)
   }
+
+  test("maintenance lease: concurrent deleteWhere fails loudly; stale lease is taken over") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_fret_lease_").toString
+    val in = s"$base/docs"
+    spark.range(0, 60, 1, 4).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 60L)
+    val before = hashes(out)
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new Path(s"$out/_retention_lease")
+
+    // a FRESH lease (another maintenance process active) → loud failure,
+    // no mutation anywhere
+    f.create(lease, true).close()
+    val victim = before.keySet.head
+    val ex = intercept[java.io.IOException] {
+      FileResumableExtract.deleteWhere(spark, out, col("doc_id") === victim)
+    }
+    assert(ex.getMessage.contains("lease"))
+    assert(hashes(out) == before, "failed acquire must not mutate the table")
+    assert(f.exists(lease), "failed acquire must not release another's lease")
+
+    // a STALE lease (holder killed) is taken over and the delete proceeds;
+    // success releases the lease
+    f.setTimes(lease, System.currentTimeMillis() - 24 * 3600 * 1000L, -1)
+    assert(FileResumableExtract.deleteWhere(
+      spark, out, col("doc_id") === victim) == 1L)
+    assert(hashes(out) == before - victim)
+    assert(!f.exists(lease), "lease not released after successful delete")
+  }
+
+  test("readers do not roll an intent-present swap forward while the writer's lease is fresh") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_fret_rgate_").toString
+    val in = s"$base/docs"
+    spark.range(0, 90, 1, 3).map(i => CorpusGen.gen(i)).write.parquet(in)
+    val out = s"$base/out"
+    assert(FileResumableExtract.run(spark, in, out) == 90L)
+    val before = hashes(out)
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the ACTIVE-swap shape the round-4 advice flagged: intent present,
+    // one partition staged, writer ALIVE (fresh lease). A reader rolling
+    // forward here races the writer's own swap loop — the interleaving
+    // reader-exists/writer-rename/reader-delete destroys the survivors'
+    // only copy. With the lease gate the reader must leave everything
+    // untouched.
+    val fids = FileResumableExtract.completedFileIds(spark, out).toSeq.sorted
+    val fy = fids.head
+    val staging = new Path(s"$out/_retention_staging")
+    f.mkdirs(staging)
+    assert(f.rename(new Path(s"$out/results/file_id=$fy"),
+      new Path(staging, s"file_id=$fy")))
+    val intent = f.create(new Path(staging, "_affected"), true)
+    intent.write(s"s:$fy".getBytes("UTF-8")); intent.close()
+    f.create(new Path(s"$out/_retention_lease"), true).close()
+
+    FileResumableExtract.readResults(spark, out) // reader while lease fresh
+    assert(f.exists(new Path(staging, s"file_id=$fy")),
+      "reader rolled forward under a fresh lease")
+    assert(f.exists(staging), "reader touched staging under a fresh lease")
+
+    // writer "crashes": lease goes stale → the next reader recovers
+    f.setTimes(new Path(s"$out/_retention_lease"),
+      System.currentTimeMillis() - 24 * 3600 * 1000L, -1)
+    val healed = hashes(out)
+    assert(!f.exists(staging), "stale-lease reader did not roll forward")
+    assert(healed == before, "roll-forward lost rows")
+  }
 }
