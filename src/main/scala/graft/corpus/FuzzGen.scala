@@ -175,7 +175,7 @@ object FuzzGen {
     }
 
     val body = emailBodyText(rng)
-    rng.nextInt(9) match {
+    rng.nextInt(10) match {
       case 0 => // bare single-part, no content-type at all
         sb.append(nl).append(body.replace("\n", nl)).append(nl)
       case 1 => // single-part quoted-printable
@@ -300,6 +300,52 @@ object FuzzGen {
         sb.append(s"Content-Transfer-Encoding: base64$nl$nl")
         val bytes = payload.getBytes(java.nio.charset.Charset.forName(javaCs))
         sb.append(java.util.Base64.getEncoder.encodeToString(bytes)).append(nl)
+      case 9 => // python-only codecs (no/different JVM twin): utf-7 bodies
+        // and BOM-less/BOM'd utf-16/32 — decoded by the from-scratch
+        // PyCompat decoders; the reference goes through CPython's registry
+        rng.nextInt(3) match {
+          case 0 => // utf-7: well-formed sections (pre-encoded with CPython)
+            // plus adversarial raw sections exercising error-ignore paths
+            val payload = rng.pick(Vector(
+              "Caf+AOk +ANc d+AOk-j+AOA vu", // Café × déjà vu
+              "emoji +2D3cqQ pair", // astral surrogate pair
+              "price +IKw-49 +IBQ deal", // € and em-dash
+              "+A6kDvAOtA7MDsQ +A8QDrQO7A78Dwg-", // Ωμέγα τέλος
+              "plain seven bit",
+              "literal +- plus and +AOk", // '+-' then EOF-terminated section
+              "broken +A tail", // partial char: section dropped
+              "x+ACEAIQ bang", // '+' terminatorless zero-pad
+              "lone +2D0- surrogate kept"))
+            sb.append(s"Content-Type: text/plain; charset=${rng.pick(
+                Vector("utf-7", "UTF-7", "u7", "utf_7"))}$nl$nl")
+            sb.append(payload).append(nl)
+          case 1 => // utf-16: Python defaults BOM-less to LE (Java: BE)
+            val payload = s"${sentence(rng)}\nTotal € ${rng.range(1, 99)}"
+            val (bytes, cs) = rng.nextInt(3) match {
+              case 0 => (payload.getBytes("UTF-16LE"), "utf-16") // BOM-less→LE
+              case 1 => (Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+                payload.getBytes("UTF-16LE"), "utf16")
+              case 2 => (Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+                payload.getBytes("UTF-16BE"), "u16")
+            }
+            sb.append(s"Content-Type: text/plain; charset=$cs$nl")
+            sb.append(s"Content-Transfer-Encoding: base64$nl$nl")
+            sb.append(java.util.Base64.getEncoder.encodeToString(bytes)).append(nl)
+          case 2 => // utf-32, same LE default with 4-byte BOMs
+            val payload = s"${word(rng)} u32 ${word(rng)}"
+            def u32le(s: String): Array[Byte] =
+              s.codePoints().toArray.flatMap(cp => Array[Byte](
+                (cp & 0xff).toByte, ((cp >> 8) & 0xff).toByte,
+                ((cp >> 16) & 0xff).toByte, ((cp >> 24) & 0xff).toByte))
+            val (bytes, cs) = rng.nextInt(2) match {
+              case 0 => (u32le(payload), "utf-32")
+              case 1 => (Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+                u32le(payload), "utf_32")
+            }
+            sb.append(s"Content-Type: text/plain; charset=$cs$nl")
+            sb.append(s"Content-Transfer-Encoding: base64$nl$nl")
+            sb.append(java.util.Base64.getEncoder.encodeToString(bytes)).append(nl)
+        }
     }
     sb.toString
   }

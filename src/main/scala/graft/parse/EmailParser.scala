@@ -396,11 +396,11 @@ object EmailParser {
     * to "" while the reference decodes them. Entries derive from executing
     * `codecs.lookup` on the alias set (each maps to a codec whose decoder
     * agrees with the Java charset on valid input; errors='ignore' drops
-    * invalid input on both sides). Known residuals: Python-only codecs
-    * with no Java twin (utf-7 has no Java decoder) still return "", and
-    * BOM-less utf-16/utf-32 input differs by default endianness (Python
-    * assumes LE, Java BE; with a BOM — the shape mail actually carries and
-    * the EmailEdgeSpec fixtures pin — both consume it identically).
+    * invalid input on both sides). utf-7 (no Java decoder) and BOM-less
+    * utf-16/utf-32 (Python defaults LE, Java BE) bypass this table — they
+    * decode through the from-scratch CPython twins in [[PyCompat]]
+    * (`pyDecodeUtf7Ignore` / `pyDecodeUtf16Ignore` / `pyDecodeUtf32Ignore`),
+    * closing the last two known charset residuals.
     */
   private val PyCharsetAliases: Map[String, String] = Map(
     // iso8859-1 family (Python canonical latin_1)
@@ -419,9 +419,7 @@ object EmailParser {
     // unicode transforms
     "utf_8" -> "UTF-8", "utf8" -> "UTF-8", "u8" -> "UTF-8",
     "utf" -> "UTF-8", "cp65001" -> "UTF-8",
-    "utf_16" -> "UTF-16", "utf16" -> "UTF-16", "u16" -> "UTF-16",
     "utf_16_le" -> "UTF-16LE", "utf_16_be" -> "UTF-16BE",
-    "utf_32" -> "UTF-32", "utf32" -> "UTF-32",
     "utf_32_le" -> "UTF-32LE", "utf_32_be" -> "UTF-32BE",
     // ascii
     "ascii" -> "US-ASCII", "us_ascii" -> "US-ASCII",
@@ -452,8 +450,20 @@ object EmailParser {
     * spellings Python accepts but Java rejects don't wrongly return "".
     */
   private[parse] def decodeIgnore(bytes: Array[Byte], charset: String): String = {
-    val resolved =
-      PyCharsetAliases.getOrElse(pyNormalizeCharset(charset), charset)
+    val norm = pyNormalizeCharset(charset)
+    // Python codecs with no (or differently-defaulted) Java twin decode
+    // through the from-scratch CPython-parity decoders; alias keys are the
+    // full sets from encodings.aliases for each codec
+    norm match {
+      case "utf_7" | "utf7" | "u7" | "unicode_1_1_utf_7" =>
+        return PyCompat.pyDecodeUtf7Ignore(bytes)
+      case "utf_16" | "utf16" | "u16" =>
+        return PyCompat.pyDecodeUtf16Ignore(bytes)
+      case "utf_32" | "utf32" | "u32" =>
+        return PyCompat.pyDecodeUtf32Ignore(bytes)
+      case _ => ()
+    }
+    val resolved = PyCharsetAliases.getOrElse(norm, charset)
     val cs = try Charset.forName(resolved) catch { case _: Exception => return "" }
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.IGNORE)
