@@ -71,7 +71,7 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.fingerprint _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
-    "m2_media_decode" -> (MultimodalOps.mediaDecodeStats _),
+    "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
     "m3_frame_sample" -> (MultimodalOps.frameSampleStats _))
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +116,6 @@ object SparkEntry {
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
+    "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)
 }
