@@ -85,6 +85,32 @@ object ScalingBench {
       val parseTimes = (1 to iters).map { _ =>
         val t0 = System.nanoTime(); parseOnce(); (System.nanoTime() - t0) / 1e9
       }
+
+      // UNCACHED scan alone (reads + decodes every span text byte, no
+      // parse): the filesink job's first phase, isolated — the whole-job
+      // number below 0.8 needed attribution between the data path and this
+      // one-shared-memory-bus read (round-5 verdict item 1)
+      def scanOnce(): Unit = {
+        ExtractJob.readDocs(spark, corpus).toDF()
+          .select(expr("sum(aggregate(spans, 0L, (a, s) -> a + length(s.text)))"))
+          .head()
+      }
+      scanOnce() // warmup (page cache fills here; both levels then equal)
+      val scanTimes = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); scanOnce(); (System.nanoTime() - t0) / 1e9
+      }
+
+      // parse + the ByBucket raw-byte exchange, NO parquet write: splits
+      // sink_eff into its shuffle and write components (round-5 verdict
+      // item 2 — the ByBucket sink has sat at ~0.67 unattributed)
+      def shuffleOnce(): Unit = {
+        ExtractJob.extract(spark, docs, layout = ExtractJob.Layout.ByBucket)
+          .agg(sum(size(col("spans"))), count(lit(1))).head()
+      }
+      shuffleOnce() // warmup
+      val shufTimes = (1 to math.max(1, iters - 1)).map { _ =>
+        val t0 = System.nanoTime(); shuffleOnce(); (System.nanoTime() - t0) / 1e9
+      }
       // Sink output on tmpfs for the same reason as spark.local.dir above:
       // a real 4N cluster writes to storage whose aggregate throughput
       // scales with the cluster (HDFS/S3 across executors); this sandbox
@@ -126,6 +152,8 @@ object ScalingBench {
       val fsTimes = (1 to fsIters).map(_ => fileSinkOnce(record = true))
 
       val pSec = median(parseTimes)
+      val cSec = median(scanTimes)
+      val hSec = median(shufTimes)
       val sSec = median(sinkTimes)
       val fSec = median(fsTimes)
       // phase breakdown (mean secs/run): where does the complete job spend
@@ -137,23 +165,23 @@ object ScalingBench {
         .mkString(",")
       // per-metric timed-run counts (sink/filesink run one fewer than
       // parse) so evidence audits see the real sample sizes
-      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_partitions":$nParts,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"parse_iters":${parseTimes.length},"sink_iters":${sinkTimes.length},"filesink_iters":${fsTimes.length},"corpus":"$corpus"}""")
+      println(f"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"parse_partitions":$nParts,"parse_sec":$pSec%.3f,"parse_docs_per_sec":${nDocs / pSec}%.1f,"scan_sec":$cSec%.3f,"scan_docs_per_sec":${nDocs / cSec}%.1f,"shuffle_sec":$hSec%.3f,"shuffle_docs_per_sec":${nDocs / hSec}%.1f,"sink_sec":$sSec%.3f,"sink_docs_per_sec":${nDocs / sSec}%.1f,"filesink_sec":$fSec%.3f,"filesink_docs_per_sec":${nDocs / fSec}%.1f,$br,"parse_iters":${parseTimes.length},"scan_iters":${scanTimes.length},"shuffle_iters":${shufTimes.length},"sink_iters":${sinkTimes.length},"filesink_iters":${fsTimes.length},"corpus":"$corpus"}""")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File("/dev/shm/graft-bench"))
       spark.stop()
       (cpus, nDocs / pSec, nDocs / sSec, nDocs / fSec,
-        phases.getOrElse("write", 0.0) / fsIters)
+        phases.getOrElse("write", 0.0) / fsIters, nDocs / cSec, nDocs / hSec)
     }
 
     if (perLevel.length == 2) {
-      val (c1, p1, s1, f1, w1) = perLevel(0)
-      val (c2, p2, s2, f2, w2) = perLevel(1)
+      val (c1, p1, s1, f1, w1, sc1, sh1) = perLevel(0)
+      val (c2, p2, s2, f2, w2, sc2, sh2) = perLevel(1)
       val ratio = c2.toDouble / c1
       // writeonly_eff: the distributed read→parse→write phase alone —
       // isolates the scaling of the DATA PATH from the constant-time
       // driver bookkeeping (metrics read-back, marker commit)
       val wEff = if (w1 > 0 && w2 > 0) (w1 / w2) / ratio else 0.0
-      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f,"filesink_eff":${(f2 / f1) / ratio}%.3f,"filesink_writeonly_eff":$wEff%.3f}""")
+      println(f"""{"bench":"scaling_efficiency","n_cpus":$c1,"xn_cpus":$c2,"parse_eff":${(p2 / p1) / ratio}%.3f,"scan_eff":${(sc2 / sc1) / ratio}%.3f,"shuffle_eff":${(sh2 / sh1) / ratio}%.3f,"sink_eff":${(s2 / s1) / ratio}%.3f,"filesink_eff":${(f2 / f1) / ratio}%.3f,"filesink_writeonly_eff":$wEff%.3f}""")
     }
   }
 }

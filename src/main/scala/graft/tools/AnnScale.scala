@@ -28,7 +28,7 @@ object AnnScale {
   private def u01(x: Long): Double = (x >>> 11) * 1.1102230246251565e-16
 
   /** Deterministic standard normal via Box-Muller on splitmix streams. */
-  private def gauss(seed: Long): Double = {
+  private[tools] def gauss(seed: Long): Double = {
     val u1 = math.max(u01(splitmix(seed)), 1e-12)
     val u2 = u01(splitmix(seed + 0x7fb5d329728ea185L))
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)

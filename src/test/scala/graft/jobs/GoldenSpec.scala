@@ -90,24 +90,32 @@ class GoldenSpec extends AnyFunSuite {
     // exact-match rate = 1.0 achieved on every doc
   }
 
-  private def checkHashes(sf: String): Unit = {
+  private def checkHashes(sf: String, label: String = "", sample: Int = 1,
+      dirOverride: String = ""): Unit = {
+    val name = if (label.nonEmpty) label else s"sf$sf"
     val hashFile = Paths.get(
-      s"/root/repo/src/test/resources/goldens/sf$sf.hashes.jsonl")
-    assume(Files.exists(hashFile), s"sf$sf hash goldens not generated")
-    val dir = corpus(sf)
+      s"/root/repo/src/test/resources/goldens/$name.hashes.jsonl")
+    assume(Files.exists(hashFile), s"$name hash goldens not generated")
+    val dir = if (dirOverride.nonEmpty) dirOverride else corpus(sf)
     val mapper = new ObjectMapper()
     val expected = scala.io.Source.fromFile(hashFile.toFile).getLines().map { line =>
       val n = mapper.readTree(line)
       n.get("doc_id").asText() -> n.get("hash").asText()
     }.toMap
-    val docs = ExtractJob.readDocs(spark, dir)
+    // 1-in-`sample` deterministic doc filter — the identical md5 rule
+    // tools/gen_goldens.py applied when producing a sampled golden file
+    val docs0 = ExtractJob.readDocs(spark, dir)
+    val docs = if (sample <= 1) docs0 else docs0.filter { d =>
+      java.lang.Long.parseLong(
+        graft.parse.PyCompat.md5Hex(d.doc_id).substring(0, 8), 16) % sample == 0
+    }
     import spark.implicits._
     val got = ExtractJob.extract(spark, docs)
       .map(r => (r.doc_id, DocParser.spanHash(r.spans)))
       .collect().toMap
     assert(got.size == expected.size, s"doc counts differ: ${got.size} vs ${expected.size}")
     val bad = expected.iterator.count { case (d, h) => got.get(d) != Some(h) }
-    assert(bad == 0, s"$bad/${expected.size} docs hash-mismatch goldens at sf$sf")
+    assert(bad == 0, s"$bad/${expected.size} docs hash-mismatch goldens at $name")
   }
 
   test("span hashes match harness digests (sf0.001)") {
@@ -123,6 +131,18 @@ class GoldenSpec extends AnyFunSuite {
     // Heavier; run always unless explicitly disabled (driver gate is sbt test).
     assume(sys.env.getOrElse("GRAFT_SKIP_SF01_GOLDEN", "") != "1", "skipped by env")
     checkHashes("0.1")
+  }
+
+  test("span hashes match harness digests (sf1.0, deterministic 1% sample of 600k docs)") {
+    // Parity evidence beyond the sf0.1 full gate: the reference executed
+    // over a 1-in-100 md5(doc_id) sample of the sf1.0 corpus
+    // (tools/gen_goldens.py data/docs/sf1.0 1.0sample 100). Skips when the
+    // 159 MB corpus isn't on disk (it regenerates via GenMain, but not
+    // inside the unit gate).
+    assume(Files.exists(Paths.get("/root/repo/data/docs/sf1.0")),
+      "sf1.0 corpus not generated")
+    checkHashes("1.0", label = "sf1.0sample", sample = 100,
+      dirOverride = "/root/repo/data/docs/sf1.0")
   }
 
   test("a3 signature stats pinned against executed reference functions (sf0.001)") {

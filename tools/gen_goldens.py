@@ -219,8 +219,19 @@ def main():
                               for k, t, r, o in spans)
         return hashlib.sha256(payload.encode('utf-8')).hexdigest()
 
+    # Optional deterministic 1-in-K sampling (argv[3], default 1 = all):
+    # keep docs where int(md5(doc_id)[:8], 16) % K == 0 — the same rule
+    # GoldenSpec applies Spark-side, so corpora too large to golden in full
+    # (sf1.0: 600k docs) still get an executed-reference parity gate over a
+    # deterministic sample.
+    sample = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    def sampled(doc_id):
+        return sample <= 1 or \
+            int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % sample == 0
+
     tbl = pq.read_table(os.path.join(corpus_dir))
-    rows = tbl.to_pylist()
+    rows = [r for r in tbl.to_pylist() if sampled(r['doc_id'])]
     goldens, hashes, skipped = {}, [], 0
     sig_groups = {}  # (sid, event) -> [n_docs, sum_sim]
     for row in rows:
