@@ -93,23 +93,40 @@ object FileResumableExtract {
   /** (absolute path, file id) pairs — the id hashed from the root-relative
     * path (see [[fileId]]). One listing feeds the scan, the manifest
     * anti-join, and the commit roll-up.
+    *
+    * Local (`file:`) roots walk via java.nio instead of Hadoop's
+    * `listFiles(recursive)`: RawLocalFileSystem materializes POSIX
+    * permissions PER FILE during the recursive walk — measured 3.9 ms/file
+    * (tools/ListingScale), which turns a 10⁶-file listing into ~65 minutes
+    * of driver wall; the NIO walk streams the same dirents in seconds. On
+    * cluster filesystems (HDFS/S3) the Hadoop path stays — their listings
+    * batch thousands of entries per RPC and have no such constant.
     */
   def inputFilesWithIds(spark: SparkSession, inPath: String): Seq[(String, String)] = {
     val f = fs(spark, inPath)
     val root = f.getFileStatus(new Path(inPath)).getPath
     val rootPath = root.toUri.getPath
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val abs = p.toUri.getPath
+    def add(absPath: String, name: String): Unit = {
       val rel =
-        if (abs.startsWith(rootPath + "/")) abs.substring(rootPath.length + 1)
-        else p.getName // root itself is a file
-      if (p.getName.endsWith(".parquet") &&
+        if (absPath.startsWith(rootPath + "/")) absPath.substring(rootPath.length + 1)
+        else name // root itself is a file
+      if (name.endsWith(".parquet") &&
         rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith(".")))
-        buf += ((p.toString, fileId(rel)))
+        buf += ((absPath, fileId(rel)))
+    }
+    if (root.toUri.getScheme == "file") {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(rootPath))
+      try stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          add(p.toString, p.getFileName.toString)
+      } finally stream.close()
+    } else {
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        add(st.getPath.toUri.getPath, st.getPath.getName)
+      }
     }
     buf.sortBy(_._1).toSeq
   }
