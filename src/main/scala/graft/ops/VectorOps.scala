@@ -106,7 +106,11 @@ object VectorOps {
     * `tables` independent hash tables of `bits` hyperplane sign bits each,
     * planes drawn from [[hyperplane]] with plane index `tbl*bits + bit`.
     * At production scale `bits` grows with log2(n / target bucket size);
-    * the index is a linear scan to build and shuffles ids only.
+    * the index is a linear scan to build and shuffles ids only. Recall of
+    * a (bits, tables) point follows `1 − (1 − p^bits)^tables`,
+    * `p = 1 − acos(cosθ)/π`, measurement-validated within ±0.026 over a
+    * 27-point stress grid by `graft.tools.AnnRecallSweep` (see
+    * [[DedupOps.lshNearDupOn]] and the BASELINE.md round-5 table).
     */
   private[graft] def bucketIndex(e: DataFrame, bits: Int, tables: Int): DataFrame = {
     val tableStructs = array((0 until tables).map { t =>
