@@ -367,16 +367,27 @@ object EmailParser {
     * 'latiné1' → 'latin1', not 'latin_1'; 'a é b' → 'a__b' — both verified
     * live). "Alphanumeric" is Python's `str.isalnum` = letters plus
     * Nd/Nl/No number categories — `Character.isLetterOrDigit` alone misses
-    * Nl/No ('³', 'Ⅻ'); the predicate below matches CPython on every BMP
-    * codepoint except 56 Arabic-Extended-B letters added to Unicode after
-    * Java 17's tables (cross-checked exhaustively against a live dump).
+    * Nl/No ('³', 'Ⅻ'). Java 17's Unicode tables predate CPython 3.11's by
+    * one major version; the 56 BMP letters added in between (Arabic
+    * Extended-B U+0870-U+088E plus scattered singletons, enumerated by an
+    * exhaustive live diff of `str.isalnum` vs `Character.getType` over the
+    * whole BMP) are carried in [[Unicode14Letters]], so the predicate now
+    * matches CPython on EVERY BMP codepoint — zero known skew
+    * (`EmailNormalizeSpec` pins a live-CPython fixture over all 17 ranges).
     */
+  private[parse] val Unicode14Letters: Array[(Int, Int)] = Array(
+    (0x0870, 0x0887), (0x0889, 0x088e), (0x08b5, 0x08b5), (0x08c8, 0x08c9),
+    (0x0c5d, 0x0c5d), (0x0cdd, 0x0cdd), (0x170d, 0x170d), (0x171f, 0x171f),
+    (0x1b4c, 0x1b4c), (0x2c2f, 0x2c2f), (0x2c5f, 0x2c5f), (0x9ffd, 0x9fff),
+    (0xa7c0, 0xa7c1), (0xa7d0, 0xa7d1), (0xa7d3, 0xa7d3), (0xa7d5, 0xa7d9),
+    (0xa7f2, 0xa7f4))
+
   private[parse] def pyNormalizeCharset(name: String): String = {
     def isPyAlnum(c: Char): Boolean = Character.isLetter(c) || {
       val t = Character.getType(c)
       t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
         t == Character.OTHER_NUMBER
-    }
+    } || Unicode14Letters.exists(r => c >= r._1 && c <= r._2)
     val sb = new StringBuilder(name.length)
     var punct = false
     name.toLowerCase.foreach { c =>
