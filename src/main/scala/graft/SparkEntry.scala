@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.RelationalOps
-import graft.ops.{DedupOps, ExtractQueries, MultimodalOps, TextOps, VectorOps}
+import graft.ops.{CurationOps, DedupOps, ExtractQueries, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,7 @@ object SparkEntry {
     "v3_cluster_stats" -> (VectorOps.clusterStats _),
     // text analysis
     "t1_langid" -> (TextOps.langId _),
+    "c1_curation_funnel" -> (CurationOps.curationFunnel _),
     "t2_quality" -> (TextOps.quality _),
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,
     "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
     "t1_langid" -> TextOps.langIdSql,
+    "c1_curation_funnel" -> CurationOps.curationFunnelSql,
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,

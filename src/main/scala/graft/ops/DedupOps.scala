@@ -39,8 +39,10 @@ object DedupOps {
     * engines).
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    shinglesOn(docs(spark, dir))
+
+  private def shinglesOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       // a doc with < 3 tokens has NO shingles: guard before sequence(),
       // because sequence(1, 0) is the DESCENDING array [1, 0] in Spark and
       // element_at(toks, 3) would throw — short/empty docs are guaranteed
@@ -86,8 +88,15 @@ object DedupOps {
     * of corpus size. jaccard = |∩| / (|A|+|B|-|∩|) with per-doc counts over
     * ALL distinct shingles (the pruned jaccard is a lower bound of exact).
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shArrays = shingles(spark, dir)
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOn(docs(spark, dir), 0.05)
+
+  /** d2's posting-list pair machinery over any (doc_id, text) frame with a
+    * caller-chosen jaccard floor — shared with the c1 curation funnel's
+    * near-dup stage (threshold 0.8 over the funnel's dedup survivors).
+    */
+  private[ops] def ngramJaccardPairsOn(d: DataFrame, minJaccard: Double): DataFrame = {
+    val shArrays = shinglesOn(d)
     // per-doc distinct-shingle count straight off the array — no explode,
     // no shuffle (the old groupBy(doc_id) re-aggregated the exploded rows)
     val counts = shArrays.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -118,7 +127,7 @@ object DedupOps {
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.05)
+      .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
 

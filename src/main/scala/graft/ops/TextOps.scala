@@ -26,19 +26,31 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das"),
     "fr" -> Seq("le", "la", "et", "les"))
 
+  private def langScores(txt: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), txt, lit(" "))
+    StopwordSets.map { case (lang, ws) =>
+      lang -> ws.map(w => occ(padded, w)).reduce(_ + _)
+    }
+  }
+
+  /** The t1 language pick as a single column over any text column — shared
+    * with the c1 curation funnel's language-filter stage.
+    */
+  private[ops] def langPredCol(txt: Column): Column = {
+    val scores = langScores(txt)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // earlier langs win ties (en > es > de > fr): en's WHEN ends outermost
+    scores.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Language-ID: stopword-count heuristic; argmax with fixed priority
     * order, 'und' (undetermined) when all scores are zero.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    val scores = StopwordSets.map { case (lang, ws) =>
-      lang -> ws.map(w => occ(padded, w)).reduce(_ + _)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // earlier langs win ties (en > es > de > fr): en's WHEN ends outermost
-    val pickOrdered = scores.reverse.foldLeft(lit("und"): Column) {
-      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val scores = langScores(col("text"))
+    val pickOrdered = langPredCol(col("text"))
     docs(spark, dir)
       .select(col("doc_id"),
         scores.head._2.as("score_en"),
@@ -49,16 +61,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def langIdSql: String = {
-    def occSql(w: String) =
-      s"len(string_split(' ' || text || ' ', ' $w ')) - 1"
-    val exprs = StopwordSets.map { case (lang, ws) =>
+  private def occSql(w: String) =
+    s"len(string_split(' ' || text || ' ', ' $w ')) - 1"
+
+  private def langSqlExprs: Seq[(String, String)] =
+    StopwordSets.map { case (lang, ws) =>
       lang -> ws.map(occSql).mkString("(", " + ", ")")
     }
-    val bestExpr = "greatest(" + exprs.map(_._2).mkString(", ") + ")"
-    val caseExpr = exprs.map { case (lang, e) =>
+
+  /** DuckDB `greatest(score_en, …)` expression over `text` (for a subquery
+    * that aliases it `best`); pairs with [[langCaseSql]].
+    */
+  private[ops] def langBestSql: String =
+    "greatest(" + langSqlExprs.map(_._2).mkString(", ") + ")"
+
+  /** DuckDB CASE mirroring [[langPredCol]]; expects `best` in scope. */
+  private[ops] def langCaseSql: String =
+    langSqlExprs.map { case (lang, e) =>
       s"WHEN $e = best AND best > 0 THEN '$lang'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
+
+  def langIdSql: String = {
+    val exprs = langSqlExprs
+    val bestExpr = langBestSql
+    val caseExpr = langCaseSql
     s"""SELECT doc_id,
         CAST(${exprs(0)._2} AS INT) AS score_en,
         CAST(${exprs(1)._2} AS INT) AS score_es,
@@ -68,6 +94,15 @@ object TextOps {
         FROM (SELECT *, $bestExpr AS best FROM documents)
         ORDER BY doc_id"""
   }
+
+  /** t2's composite keep flag over any text column (shared with c1). */
+  private[ops] def qualityKeepCol(txt: Column): Column =
+    (length(txt) >= 100 && size(split(txt, " ", -1)) >= 20).cast("boolean")
+
+  /** t3's BPE-ish token count over any text column (shared with c1). */
+  private[ops] def bpeTokensCol(txt: Column): Column =
+    size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      .cast("long")
 
   /** Quality scoring: length / token / punctuation / uppercase features +
     * a composite keep/drop flag — the filters a pretraining pipeline runs.
