@@ -25,13 +25,22 @@ import org.apache.spark.sql.functions._
   *                aggressiveness. The DuckDB oracle applies the identical
   *                rule, so the gate pins the semantics, not just the count.
   *
-  * Scale shape: one scan computes all flags; the exact-dedup stage is one
-  * hash shuffle on content_hash; the near-dup stage reuses d2's bounded
-  * posting-list machinery (ONE shuffle on the 60-bit shingle hash,
-  * df-capped fan-out) over the already-filtered survivor set — filters
-  * run BEFORE the expensive pair stage, exactly how a 100 TB curation run
-  * must be ordered. No UDFs, no driver-side loops; token totals ride the
-  * same aggregates.
+  * Scale shape — the funnel is computed as each document's LAST SURVIVING
+  * STAGE, not as five per-stage aggregation passes: the flag columns
+  * (language pick, quality flag, content hash, token count) are projected
+  * in one pass, the exact-dedup keeper set is one hash shuffle on
+  * content_hash over the ALREADY-FILTERED stage-2 survivors (doc_id +
+  * 128-bit hash only — text never rides that exchange), the near-dup drop
+  * set reuses d2's bounded posting-list machinery (ONE shuffle on the
+  * 60-bit shingle hash, df-capped fan-out) over the stage-3 survivors,
+  * and the five funnel rows come from ONE `explode(sequence(0,
+  * last_stage))` over a 2-column frame whose hash-aggregate map-side
+  * combines to ≤5 rows per partition before its only shuffle. Filters run
+  * BEFORE the expensive pair stage, exactly how a 100 TB curation run
+  * must be ordered; the funnel accounting itself adds no per-stage corpus
+  * re-scan (a production run would additionally persist the flagged
+  * projection, collapsing the keeper/drop subtrees onto one materialized
+  * scan). No UDFs, no driver-side loops.
   */
 object CurationOps {
 
@@ -45,31 +54,48 @@ object CurationOps {
       TextOps.qualityKeepCol(txt).as("qual_ok"),
       md5(txt.cast("binary")).as("content_hash"),
       TextOps.bpeTokensCol(txt).as("n_bpe"))
+    val s2cond = col("lang_pred") =!= "und" && col("qual_ok")
 
-    val s1 = base.filter(col("lang_pred") =!= "und")
-    val s2 = s1.filter(col("qual_ok"))
-    // d1 semantics among survivors: keeper = min doc_id per content hash
-    val keepers = s2.groupBy(col("content_hash"))
+    // d1 semantics among stage-2 survivors: keeper = min doc_id per
+    // content hash (only doc_id + content_hash cross this exchange)
+    val keepers = base.filter(s2cond).groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+    val s3 = base.filter(s2cond).join(keepers, Seq("doc_id"), "left_semi")
     // d2 pairs at tau among stage-3 survivors; drop the larger id of each
     val drops = DedupOps
       .ngramJaccardPairsOn(s3.select(col("doc_id"), col("text")), NearDupTau)
       .select(col("doc_b").as("doc_id")).distinct()
-    val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
 
-    def stage(id: Int, name: String, d: DataFrame): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_bpe")), lit(0L)).as("n_bpe_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("n_bpe_tokens"))
+    // Last stage each doc survives: 0 all / 1 lang / 2 quality / 3 exact /
+    // 4 neardup. The keeper/drop joins are left joins against marker
+    // frames so every doc keeps exactly one row.
+    val lastStage = base
+      .join(keepers.withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+      .join(drops.withColumn("nd_drop", lit(true)), Seq("doc_id"), "left")
+      .select(col("n_bpe"),
+        when(col("lang_pred") === "und", 0)
+          .when(!col("qual_ok"), 1)
+          .when(col("is_keeper").isNull, 2)
+          .when(col("nd_drop").isNotNull, 3)
+          .otherwise(4).as("last_stage"))
 
-    stage(0, "all", base)
-      .union(stage(1, "lang", s1))
-      .union(stage(2, "quality", s2))
-      .union(stage(3, "exact", s3))
-      .union(stage(4, "neardup", s4))
+    // One row per (doc, stage-it-survives): ≤5× row expansion of a
+    // 2-int frame, map-side combined to ≤5 rows/partition pre-shuffle
+    val counts = lastStage
+      .select(explode(sequence(lit(0), col("last_stage"))).as("stage_id"),
+        col("n_bpe"))
+      .groupBy(col("stage_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("n_bpe_tokens"))
+
+    // All five stages appear even when empty (matches the oracle's CTEs)
+    import spark.implicits._
+    val stages = Seq((0, "all"), (1, "lang"), (2, "quality"), (3, "exact"),
+      (4, "neardup")).toDF("stage_id", "stage")
+    stages.join(counts, Seq("stage_id"), "left")
+      .select(col("stage_id"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .orderBy("stage_id")
   }
 
