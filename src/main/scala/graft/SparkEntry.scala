@@ -67,6 +67,7 @@ object SparkEntry {
     // text analysis
     "t1_langid" -> (TextOps.langId _),
     "c1_curation_funnel" -> (CurationOps.curationFunnel _),
+    "c2_curated_docs" -> (CurationOps.curatedDocs _),
     "t2_quality" -> (TextOps.quality _),
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "c1_curation_funnel" -> CurationOps.curationFunnelSql,
+    "c2_curated_docs" -> CurationOps.curatedDocsSql,
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,

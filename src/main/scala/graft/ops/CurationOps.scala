@@ -46,7 +46,14 @@ object CurationOps {
 
   val NearDupTau = 0.8
 
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document curation verdict: (doc_id, lang_pred, n_bpe,
+    * last_stage) where last_stage is the LAST funnel stage the doc
+    * survives — 0 all / 1 lang / 2 quality / 3 exact / 4 neardup. The
+    * keeper/drop joins are left joins against marker frames so every doc
+    * keeps exactly one row. Shared spine of c1 (funnel report) and c2
+    * (curated output set).
+    */
+  private def stagedDocs(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val base = spark.read.parquet(s"$dir/documents.parquet").select(
       col("doc_id"), txt,
@@ -67,22 +74,21 @@ object CurationOps {
       .ngramJaccardPairsOn(s3.select(col("doc_id"), col("text")), NearDupTau)
       .select(col("doc_b").as("doc_id")).distinct()
 
-    // Last stage each doc survives: 0 all / 1 lang / 2 quality / 3 exact /
-    // 4 neardup. The keeper/drop joins are left joins against marker
-    // frames so every doc keeps exactly one row.
-    val lastStage = base
+    base
       .join(keepers.withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
       .join(drops.withColumn("nd_drop", lit(true)), Seq("doc_id"), "left")
-      .select(col("n_bpe"),
+      .select(col("doc_id"), col("lang_pred"), col("n_bpe"),
         when(col("lang_pred") === "und", 0)
           .when(!col("qual_ok"), 1)
           .when(col("is_keeper").isNull, 2)
           .when(col("nd_drop").isNotNull, 3)
           .otherwise(4).as("last_stage"))
+  }
 
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     // One row per (doc, stage-it-survives): ≤5× row expansion of a
     // 2-int frame, map-side combined to ≤5 rows/partition pre-shuffle
-    val counts = lastStage
+    val counts = stagedDocs(spark, dir)
       .select(explode(sequence(lit(0), col("last_stage"))).as("stage_id"),
         col("n_bpe"))
       .groupBy(col("stage_id"))
@@ -99,12 +105,24 @@ object CurationOps {
       .orderBy("stage_id")
   }
 
-  /** DuckDB twin: the same five stages as CTEs; the near-dup stage repeats
-    * d2's posting-list SQL (df cap 100, 60-bit md5-prefix hash) over the
-    * stage-3 survivors with the tau floor.
+  /** c2 — the curated OUTPUT of the funnel: the stage-4 survivor set with
+    * its language pick and token count, i.e. the table a training run
+    * actually consumes (c1 is the report; this is the product). Same
+    * one-pass spine; the projection drops text so only ids + small
+    * columns reach the sink.
     */
-  def curationFunnelSql: String =
-    s"""WITH base AS (
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame =
+    stagedDocs(spark, dir)
+      .filter(col("last_stage") === 4)
+      .select(col("doc_id"), col("lang_pred"), col("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Shared DuckDB CTE prefix: base flags + the four survivor stages; the
+    * near-dup stage repeats d2's posting-list SQL (df cap 100, 60-bit
+    * md5-prefix hash) over the stage-3 survivors with the tau floor.
+    */
+  private def curationCtes: String =
+    s"""base AS (
          SELECT doc_id, text,
                 (${TextOps.langCaseSql}) AS lang_pred,
                 (length(text) >= 100 AND len(string_split(text, ' ')) >= 20) AS qual_ok,
@@ -131,7 +149,10 @@ object CurationOps {
                  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
                  JOIN cnt cb ON doc_b = cb.doc_id
                  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $NearDupTau),
-       s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+       s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops))"""
+
+  def curationFunnelSql: String =
+    s"""WITH $curationCtes,
        funnel AS (
          SELECT 0 AS stage_id, 'all' AS stage, count(*) AS n_docs,
                 coalesce(sum(n_bpe), 0) AS n_bpe_tokens FROM base
@@ -143,4 +164,12 @@ object CurationOps {
               CAST(n_docs AS BIGINT) AS n_docs,
               CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
        FROM funnel ORDER BY stage_id"""
+
+  /** DuckDB twin of [[curatedDocs]]: the s4 CTE projected to the output
+    * columns.
+    */
+  def curatedDocsSql: String =
+    s"""WITH $curationCtes
+       SELECT doc_id, lang_pred, CAST(n_bpe AS BIGINT) AS n_bpe
+       FROM s4 ORDER BY doc_id"""
 }

@@ -64,6 +64,13 @@ class CurationSpec extends AnyFunSuite {
     // token budget is positive and non-increasing down the funnel
     val toks = rows.map(_._4)
     assert(toks.forall(_ > 0) && toks.zip(toks.tail).forall { case (a, b) => b <= a })
+
+    // c2 is the survivor SET itself: exactly docs 1 (en) and 5 (es), with
+    // their language picks; its token totals reconcile with stage 4
+    val curated = CurationOps.curatedDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(curated.map(t => (t._1, t._2)).toSeq == Seq((1L, "en"), (5L, "es")))
+    assert(curated.map(_._3).sum == rows.last._4)
   }
 
   test("funnel plans without cartesian products or nested-loop joins") {
