@@ -64,6 +64,7 @@ object SparkEntry {
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
     "v4_lsh_ann_topk" -> (VectorOps.lshAnnTopK _),
     "v3_cluster_stats" -> (VectorOps.clusterStats _),
+    "v5_ivf_topk" -> (VectorOps.ivfTopK _),
     // text analysis
     "t1_langid" -> (TextOps.langId _),
     "c1_curation_funnel" -> (CurationOps.curationFunnel _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "v2_lsh_buckets" -> VectorOps.lshBucketsSql,
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,
     "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
+    "v5_ivf_topk" -> VectorOps.ivfTopKSql,
     "t1_langid" -> TextOps.langIdSql,
     "c1_curation_funnel" -> CurationOps.curationFunnelSql,
     "c2_curated_docs" -> CurationOps.curatedDocsSql,

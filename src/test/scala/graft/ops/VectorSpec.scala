@@ -82,4 +82,48 @@ class VectorSpec extends AnyFunSuite {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnlj <= 1, s"expected at most the query-vector attach as BNLJ:\n$plan")
   }
+
+  test("v5 ivfTopK: structure, probe pruning, and tail recall floor on the corpus") {
+    val rows = VectorOps.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    // the query vector itself is in its own cell, so rank 1 is vec 0 at cos 1
+    assert(rows.head._1 == 0L && math.abs(rows.head._4 - 1.0) < 1e-12)
+    // candidates come from exactly nprobe cells
+    assert(rows.map(_._3).distinct.length <= VectorOps.IvfNProbe)
+    // measured tail recall on the unclustered synthetic corpus (scaladoc):
+    // 0.55 at sf0.001 — assert the floor so a probe regression shows
+    val exact = VectorOps.annTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = rows.count(r => exact.contains(r._1)) / 20.0
+    assert(recall >= 0.5, s"tail recall@20 dropped to $recall")
+  }
+
+  test("v5 ivfTopK: a genuinely near vector always shares the query cell and is found") {
+    import spark.implicits._
+    // 400 seeded uniform vectors over 10 labels + a planted near-copy of the
+    // query (cosine ~0.9999): IVF's contract is that near-identical vectors
+    // quantize to the same cell, so the probe can never lose them
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 400L).map { i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat), (i % 10).toInt)
+    }
+    val q = base.head._2
+    val planted = (999L, q.map(x => x + 1e-4f), 3)
+    val e = (base :+ planted).toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.ivfTopKOn(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.head._1 == 0L)
+    assert(rows(1)._1 == 999L, s"planted near-dup not at rank 2: ${rows.toSeq}")
+    assert(rows(1)._2 > 0.999)
+  }
+
+  test("v5 plan: only 1-row broadcast attaches may nest (cells ×2 branches, query)") {
+    val plan = VectorOps.ivfTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the cells array attaches on both the candidate and the query branch,
+    // and the query vector attaches once — all three are 1-row broadcasts
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 3, s"expected only the 1-row broadcast attaches as BNLJ:\n$plan")
+  }
 }
