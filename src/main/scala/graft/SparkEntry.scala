@@ -57,6 +57,7 @@ object SparkEntry {
     "d3_minhash" -> (DedupOps.minhash _),
     "d4_lsh_pairs" -> (DedupOps.lshPairs _),
     "d5_simhash" -> (DedupOps.simhash _),
+    "d8_lsh_clusters" -> (DedupOps.lshClusters _),
     "d6_embed_neardup" -> (DedupOps.embedNearDup _),
     "d7_lsh_neardup" -> (DedupOps.lshNearDup _),
     // similarity search
@@ -108,6 +109,7 @@ object SparkEntry {
     "d3_minhash" -> DedupOps.minhashSql,
     "d4_lsh_pairs" -> DedupOps.lshPairsSql,
     "d5_simhash" -> DedupOps.simhashSql,
+    "d8_lsh_clusters" -> DedupOps.lshClustersSql,
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,

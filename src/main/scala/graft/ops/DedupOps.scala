@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -220,7 +221,11 @@ object DedupOps {
     * (band, key) groups each bucket's members, and ordered pairs expand
     * from the grouped list — no join, no second shuffle of the index.
     */
-  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsRaw(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[lshPairs]] without the presentation sort — the edge set d8 clusters. */
+  private[ops] def lshPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhashRaw(spark, dir)
     val bandKeys = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -235,7 +240,6 @@ object DedupOps {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   def lshPairsSql: String = {
@@ -450,4 +454,123 @@ object DedupOps {
            / (ea.nrm * eb.nrm) AS cosine
        FROM cand JOIN e ea ON cand.ia = ea.vec_id JOIN e eb ON cand.ib = eb.vec_id
        ORDER BY cosine DESC, ia, ib LIMIT 50"""
+
+  /** d8 — near-dup CLUSTER assignment: connected components of the d4
+    * LSH candidate graph, every document labeled with its component's
+    * minimum doc_id (the canonical keeper) plus the component size. This
+    * is the step a curation pipeline actually deletes by: pairwise
+    * near-dup output (d2/d4/d7) under-removes on transitive chains
+    * (A~B, B~C but A≁C must still collapse to ONE keeper), so dedup-at-
+    * scale is "cluster, keep min" — exactly this operator.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    * round is one groupBy(node) + in-row emission, and the edge set
+    * converges to a star forest rooted at each component's minimum in
+    * O(log n) rounds. The obvious alternative, label-propagation-to-min,
+    * needs DIAMETER rounds — a chain of n near-identical crawl dups is
+    * the common worst case at corpus scale, so diameter bounds are the
+    * difference between 20 shuffles and 10⁶ ([[graft.ops]] DedupSpec
+    * pins a 256-node path converging in ≤12 rounds, far under its 255
+    * diameter). Per-round lineage is truncated with `localCheckpoint`
+    * (on a real cluster, point `spark.sparkContext.setCheckpointDir` at
+    * durable storage and use `checkpoint()` — same shape, executor-loss
+    * safe). Convergence is detected by an exact set compare (count +
+    * one-sided except on deduped sets); the edge set shrinks toward one
+    * edge per non-root node, so the check costs less each round.
+    *
+    * The DuckDB oracle re-derives the same labels via a recursive
+    * reachability CTE over the same d4 edge set — algorithm-independent
+    * ground truth, so the comparison is hash-exact.
+    */
+  def lshClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshPairsRaw(spark, dir)
+      .select(col("doc_a").as("s"), col("doc_b").as("d"))
+    val (roots, _) = connectedComponents(edges)
+    val lbl = docs(spark, dir).select(col("doc_id"))
+      .join(roots.withColumnRenamed("s", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    lbl
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
+  /** Alternating-star connected components over an undirected edge list
+    * (any orientation, self-loops ignored). Returns the star forest as
+    * (s = non-root node, root = its component minimum) — roots and
+    * isolated nodes are absent — plus the round count (for the
+    * convergence-speed gate in DedupSpec).
+    */
+  private[ops] def connectedComponents(edges0: DataFrame): (DataFrame, Int) = {
+    var edges = edges0
+      .filter(col("s") =!= col("d")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+    }
+    (edges.groupBy("s").agg(min(col("d")).as("root")), rounds)
+  }
+
+  /** Large-star: for each node u over its full neighborhood Γ(u), connect
+    * every strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("d").as("s"), col("s").as("d")))
+    sym.groupBy("s").agg(collect_set(col("d")).as("nb"))
+      .select(col("s"), least(col("s"), array_min(col("nb"))).as("m"), col("nb"))
+      .select(explode(filter(col("nb"), v => v > col("s"))).as("v"), col("m"))
+      .select(col("v").as("s"), col("m").as("d"))
+      .distinct()
+  }
+
+  /** Small-star: orient each edge large→small; for each node u over its
+    * smaller neighbors N(u), connect N(u) ∪ {u} minus the minimum m to m.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("s"), col("d")).as("s"), least(col("s"), col("d")).as("d"))
+    dir.groupBy("s").agg(collect_set(col("d")).as("nb"))
+      .select(explode(array_union(col("nb"), array(col("s")))).as("v"),
+        array_min(col("nb")).as("m"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("s"), col("m").as("d"))
+      .distinct()
+  }
+
+  def lshClustersSql: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '_' || mh${2 * b + 1} AS key FROM mh"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh),
+       mh AS (SELECT doc_id,
+        ${MinHashSeeds.zipWithIndex.map { case (s, k) => s"min(xor(h, ${s}::BIGINT)) AS mh$k" }.mkString(", ")}
+        FROM hs GROUP BY doc_id),
+       bands AS ($bandSelects),
+       pairs AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+       reach(s, d) AS (SELECT s, d FROM edges
+                       UNION
+                       SELECT r.s, e.d FROM reach r JOIN edges e
+                         ON r.d = e.s AND e.d <> r.s),
+       lbl AS (SELECT doc.doc_id,
+                 least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS cluster_id
+               FROM documents doc LEFT JOIN reach r ON r.s = doc.doc_id
+               GROUP BY doc.doc_id)
+       SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM lbl ORDER BY doc_id"""
+  }
 }

@@ -95,4 +95,65 @@ class DedupSpec extends AnyFunSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
+
+  /** Local union-find ground truth for the connected-components tests. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("d8 connectedComponents == union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val (roots, _) = DedupOps.connectedComponents(edges.toDF("s", "d"))
+    val got = roots.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = unionFind(n, edges)
+    // spark output omits roots/isolated nodes: compare with self-default
+    (0L until n.toLong).foreach { v =>
+      assert(got.getOrElse(v, v) == want(v), s"node $v: ${got.get(v)} vs ${want(v)}")
+    }
+  }
+
+  test("d8 alternating-star converges in O(log n) rounds on a worst-case path") {
+    import spark.implicits._
+    // a 256-node path (diameter 255) — the transitive-chain shape crawl
+    // dups actually produce; label propagation would need 255 rounds
+    val edges = (0L until 255L).map(i => (i, i + 1))
+    val (roots, rounds) = DedupOps.connectedComponents(edges.toDF("s", "d"))
+    val got = roots.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 255L).foreach(v => assert(got(v) == 0L, s"node $v root ${got.get(v)}"))
+    assert(rounds <= 12, s"alternating star took $rounds rounds on a 256-path")
+  }
+
+  test("d8 lshClusters: every doc labeled, d4 pairs co-clustered, min-id keepers") {
+    val rows = DedupOps.lshClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    // transitivity: both endpoints of every candidate pair share a label
+    val pairs = DedupOps.lshPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus lost its planted near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label is the component minimum and sizes count the members
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not rooted at min")
+      members.foreach(m => assert(m._3 == members.length,
+        s"cluster $cid size ${m._3} != ${members.length}"))
+    }
+    // the planted chains make at least one non-trivial cluster
+    assert(byCluster.exists(_._2.length >= 2), "no multi-doc cluster found")
+  }
 }
