@@ -275,7 +275,12 @@ object VectorOps {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKOn(emb(spark, dir))
 
-  private[graft] def ivfTopKOn(e: DataFrame): DataFrame = {
+  /** IVF cell assignment: every vector with its full (d2, cell)-ranked
+    * cell list (`ranked`) and nearest cell (`cell`), from one broadcast of
+    * the collected 1-row cells array. Shared by the inline v5 query and
+    * the materialized index writer.
+    */
+  private def ivfAssigned(e: DataFrame): DataFrame = {
     val cells1 = labelCentroids(e)
       .agg(array_sort(collect_list(struct(col("label").as("cell"), col("carr"))))
         .as("cells"))
@@ -285,10 +290,14 @@ object VectorOps {
         dot(c.getField("carr"), c.getField("carr"))
     val ranked = array_sort(transform(col("cells"),
       c => struct(d2(c).as("d2"), c.getField("cell").as("cell"))))
-    val assigned = e.crossJoin(broadcast(cells1))
+    e.crossJoin(broadcast(cells1))
       .select(col("vec_id"), col("label"), col("embedding"), ranked.as("ranked"))
       .select(col("vec_id"), col("label"), col("embedding"),
         element_at(col("ranked"), 1).getField("cell").as("cell"), col("ranked"))
+  }
+
+  private[graft] def ivfTopKOn(e: DataFrame): DataFrame = {
+    val assigned = ivfAssigned(e)
     val qp = assigned.filter(col("vec_id") === 0)
       .select(transform(slice(col("ranked"), 1, IvfNProbe),
           x => x.getField("cell")).as("qcells"),
@@ -329,4 +338,54 @@ object VectorOps {
        FROM assigned a CROSS JOIN q
        WHERE a.cell IN (SELECT cell FROM qcells)
        ORDER BY cosine DESC, a.vec_id LIMIT 20"""
+
+  /** v5's 100 TB layout made concrete: materialize the IVF index — the
+    * cell assignment computed ONCE at ingest and the corpus written
+    * `partitionBy("cell")` — plus the k-row centroid table beside it. A
+    * probe then touches only its `nprobe` cell DIRECTORIES: the pruning
+    * is partition pruning in the parquet file index, so no byte of the
+    * other k−nprobe cells is ever scanned (VectorSpec asserts the probe's
+    * `inputFiles` span exactly the probed cells and its scan carries the
+    * `cell IN (...)` PartitionFilters).
+    */
+  def ivfWriteIndex(e: DataFrame, path: String): Unit = {
+    ivfAssigned(e).select("vec_id", "label", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    labelCentroids(e).select(col("label").as("cell"), col("carr"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe an [[ivfWriteIndex]] layout for the top-k cosine neighbors of
+    * `query`. The centroid table is collected to rank cells driver-side —
+    * k rows, bounded by the index fan-out, never by the data; partition
+    * pruning REQUIRES a literal predicate, so this collect is the price
+    * of not scanning the corpus. The in-driver distance uses the same
+    * a·a − 2·a·c + c·c expansion with the same left-to-right double
+    * summation as [[graft.functions.DotProduct]], so the probed cells —
+    * and therefore the result — are bit-identical to the inline
+    * [[ivfTopK]] (VectorSpec pins the equality).
+    */
+  def ivfProbeIndex(spark: SparkSession, path: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def d2(c: Seq[Double]): Double = {
+      var qq = 0.0; var qc = 0.0; var cc = 0.0
+      var i = 0
+      while (i < qd.length) {
+        qq += qd(i) * qd(i); qc += qd(i) * c(i); cc += c(i) * c(i); i += 1
+      }
+      qq - 2.0 * qc + cc
+    }
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (d2(r.getSeq[Double](1)), r.getInt(0)))
+      .sorted.take(IvfNProbe).map(_._2)
+    val q = typedlit(query)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("label"), col("cell"),
+        (dot(col("embedding"), q) / (norm(col("embedding")) * norm(q)))
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
 }

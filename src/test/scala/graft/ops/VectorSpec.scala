@@ -117,6 +117,32 @@ class VectorSpec extends AnyFunSuite {
     assert(rows(1)._2 > 0.999)
   }
 
+  test("v5 index: partitionBy(cell) probe prunes to nprobe cells, == inline ivfTopK") {
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    VectorOps.ivfWriteIndex(e, path)
+    // the materialized layout has one directory per cell
+    val cellDirs = new java.io.File(s"$path/vectors").listFiles
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 10, s"expected 10 cell partitions, got $cellDirs")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .collect()(0).getSeq[Float](1).toArray
+    val probe = VectorOps.ivfProbeIndex(spark, path, q, 20)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(key(probe) == key(VectorOps.ivfTopK(spark, sfDir)),
+      "materialized-index probe diverged from the inline v5 query")
+    // the pruning proof: the literal cell predicate reaches the file index
+    // as a PartitionFilter, and the scan selects only the probed partitions
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScan in probe plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"cell predicate not in PartitionFilters: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == VectorOps.IvfNProbe,
+      s"scan read ${scan.selectedPartitions.partitionCount} partitions, not nprobe")
+  }
+
   test("v5 plan: only 1-row broadcast attaches may nest (cells ×2 branches, query)") {
     val plan = VectorOps.ivfTopK(spark, sfDir)
       .queryExecution.executedPlan.toString
