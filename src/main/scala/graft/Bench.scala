@@ -104,7 +104,16 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // noop sink, NOT count(): count() lets Catalyst prune every column
+        // that doesn't affect cardinality (map-only queries degrade to a
+        // parquet row count) and even eliminate whole join subtrees — c1's
+        // count() plan collapsed to a LocalTableScan because the funnel
+        // left-joins a unique-keyed aggregate (round-5 finding, BASELINE.md).
+        // The noop write computes every output column the user would read.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        }
         catch {
           case e: Throwable =>
             // a broken query must never masquerade as a fast one — and its
