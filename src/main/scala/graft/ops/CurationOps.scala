@@ -55,12 +55,29 @@ object CurationOps {
     */
   private def stagedDocs(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
+    // ONE evaluation of the expensive per-doc flags: without a
+    // materialization barrier the three consumers below (keeper set,
+    // near-dup pair stage, final verdict) each re-derive this projection —
+    // the executed plan grows 8 parquet scans and ~5 evaluations of the
+    // regex-heavy flag expressions, because predicate pushdown splinters
+    // each branch's filters below any shared exchange and ReuseExchange
+    // never fires. localCheckpoint is the in-session form of the "persist
+    // the flagged projection" production note above: the spine computes
+    // once and every branch reads the materialized blocks (on a real
+    // cluster, checkpoint() to durable storage for executor-loss safety).
+    // Deliberately WITHOUT text: persisting text would duplicate the
+    // corpus into cache storage; the one consumer that needs it (the
+    // near-dup pair stage) re-reads the text COLUMN from parquet for the
+    // already-thinned stage-3 survivor set instead — a pruned columnar
+    // scan semi-joined on the survivor ids, which at 100 TB is far
+    // cheaper than materializing every document's text a second time.
     val base = spark.read.parquet(s"$dir/documents.parquet").select(
-      col("doc_id"), txt,
+      col("doc_id"),
       TextOps.langPredCol(txt).as("lang_pred"),
       TextOps.qualityKeepCol(txt).as("qual_ok"),
       md5(txt.cast("binary")).as("content_hash"),
       TextOps.bpeTokensCol(txt).as("n_bpe"))
+      .localCheckpoint()
     val s2cond = col("lang_pred") =!= "und" && col("qual_ok")
 
     // d1 semantics among stage-2 survivors: keeper = min doc_id per
@@ -68,10 +85,15 @@ object CurationOps {
     val keepers = base.filter(s2cond).groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val s3 = base.filter(s2cond).join(keepers, Seq("doc_id"), "left_semi")
-    // d2 pairs at tau among stage-3 survivors; drop the larger id of each
+    val s3ids = base.filter(s2cond).select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+    // d2 pairs at tau among stage-3 survivors; drop the larger id of each.
+    // Text rejoins here from a doc_id+text-pruned scan (see above).
+    val s3text = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(s3ids, Seq("doc_id"), "left_semi")
     val drops = DedupOps
-      .ngramJaccardPairsOn(s3.select(col("doc_id"), col("text")), NearDupTau)
+      .ngramJaccardPairsOn(s3text, NearDupTau)
       .select(col("doc_b").as("doc_id")).distinct()
 
     base

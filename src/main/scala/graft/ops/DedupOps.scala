@@ -36,26 +36,18 @@ object DedupOps {
        min(doc_id) AS keeper
        FROM documents GROUP BY 1 ORDER BY content_hash"""
 
-  /** Distinct word-3-gram shingles per doc (1-based element_at in both
-    * engines).
+  /** Distinct word-3-gram shingle HASHES per doc — the native
+    * [[graft.functions.ShingleHashes]] expression (one tight loop per
+    * row; ShingleSpec pins it element-equal to the declarative
+    * `array_distinct(transform(sequence(...), concat_ws(...)))` →
+    * `transform(..., tokHash)` formulation the DuckDB oracles mirror,
+    * including the <3-token empty-array guard: DuckDB's
+    * `generate_series(1, 0)` is empty where Spark's `sequence(1, 0)`
+    * DESCENDS, so the guard lives inside the expression).
     */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOn(docs(spark, dir))
-
-  private def shinglesOn(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // a doc with < 3 tokens has NO shingles: guard before sequence(),
-      // because sequence(1, 0) is the DESCENDING array [1, 0] in Spark and
-      // element_at(toks, 3) would throw — short/empty docs are guaranteed
-      // in any real corpus (DuckDB's generate_series(1, 0) is empty, so
-      // the guard also keeps the engines semantically identical)
-      .select(col("doc_id"), when(size(col("toks")) >= 3, array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))))
-        .otherwise(array().cast("array<string>")).as("shingles"))
+  private def hashedShinglesOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.TextShingles.shingleHashCol(col("text")).as("shingles"))
 
   /** Hot-shingle bound for [[ngramJaccardPairs]]: shingles occurring in more
     * than this many documents are dropped before the self-join (classic
@@ -97,7 +89,7 @@ object DedupOps {
     * near-dup stage (threshold 0.8 over the funnel's dedup survivors).
     */
   private[ops] def ngramJaccardPairsOn(d: DataFrame, minJaccard: Double): DataFrame = {
-    val shArrays = shinglesOn(d)
+    val shArrays = hashedShinglesOn(d)
     // per-doc distinct-shingle count straight off the array — no explode,
     // no shuffle (the old groupBy(doc_id) re-aggregated the exploded rows)
     val counts = shArrays.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -108,10 +100,11 @@ object DedupOps {
     // intersection IDENTICALLY in both engines; the one asymmetry — a
     // within-doc collision putting the doc twice in a posting list, which
     // a self-JOIN's a<b can never pair but index-based expansion would —
-    // is closed by the doc_a =!= doc_b guard below
+    // is closed by the doc_a =!= doc_b guard below (the native shingle
+    // expression preserves exactly that duplicated-hash case: dedupe is
+    // by shingle STRING, as array_distinct had it)
     val sh = shArrays
-      .select(col("doc_id"),
-        explode(transform(col("shingles"), s => tokHash(s))).as("h"))
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
     val postings = sh.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, MaxShingleDf))
@@ -182,15 +175,19 @@ object DedupOps {
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashRaw(spark, dir).orderBy("doc_id")
 
-  /** [[minhash]] without the presentation sort — the form d4 builds on. */
+  /** [[minhash]] without the presentation sort — the form d4 builds on.
+    * One native [[graft.functions.MinHashSigs]] evaluation per row (NULL
+    * = no shingles = the old `filter(size(shingles) > 0)` row drop);
+    * still zero shuffles.
+    */
   private def minhashRaw(spark: SparkSession, dir: String): DataFrame = {
-    val hs = shingles(spark, dir)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), transform(col("shingles"), s => tokHash(s)).as("hs"))
-    val mins = MinHashSeeds.zipWithIndex.map { case (seed, k) =>
-      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed)))).as(s"mh$k")
-    }
-    hs.select(col("doc_id") +: mins: _*)
+    val sigs = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextShingles.minHashSigCol(col("text"), MinHashSeeds)
+          .as("sigs"))
+      .filter(col("sigs").isNotNull)
+    sigs.select(col("doc_id") +:
+      MinHashSeeds.indices.map(k => col("sigs").getItem(k).as(s"mh$k")): _*)
   }
 
   def minhashSql: String = {
