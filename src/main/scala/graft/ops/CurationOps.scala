@@ -71,12 +71,15 @@ object CurationOps {
     // already-thinned stage-3 survivor set instead — a pruned columnar
     // scan semi-joined on the survivor ids, which at 100 TB is far
     // cheaper than materializing every document's text a second time.
-    val base = spark.read.parquet(s"$dir/documents.parquet").select(
-      col("doc_id"),
-      TextOps.langPredCol(txt).as("lang_pred"),
-      TextOps.qualityKeepCol(txt).as("qual_ok"),
-      md5(txt.cast("binary")).as("content_hash"),
-      TextOps.bpeTokensCol(txt).as("n_bpe"))
+    // The four flags come from ONE native pass per row
+    // ([[graft.functions.CurationFlags]] — FlagsSpec pins it value-equal
+    // to the declarative TextOps formulations the t1/t2/t3 oracles mirror)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFlags.curationFlagsCol(txt).as("f"))
+      .select(col("doc_id"), col("f.lang_pred").as("lang_pred"),
+        col("f.qual_ok").as("qual_ok"),
+        col("f.content_hash").as("content_hash"), col("f.n_bpe").as("n_bpe"))
       .localCheckpoint()
     val s2cond = col("lang_pred") =!= "und" && col("qual_ok")
 

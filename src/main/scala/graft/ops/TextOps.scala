@@ -36,7 +36,7 @@ object TextOps {
   /** The t1 language pick as a single column over any text column — shared
     * with the c1 curation funnel's language-filter stage.
     */
-  private[ops] def langPredCol(txt: Column): Column = {
+  private[graft] def langPredCol(txt: Column): Column = {
     val scores = langScores(txt)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // earlier langs win ties (en > es > de > fr): en's WHEN ends outermost
@@ -96,11 +96,11 @@ object TextOps {
   }
 
   /** t2's composite keep flag over any text column (shared with c1). */
-  private[ops] def qualityKeepCol(txt: Column): Column =
+  private[graft] def qualityKeepCol(txt: Column): Column =
     (length(txt) >= 100 && size(split(txt, " ", -1)) >= 20).cast("boolean")
 
   /** t3's BPE-ish token count over any text column (shared with c1). */
-  private[ops] def bpeTokensCol(txt: Column): Column =
+  private[graft] def bpeTokensCol(txt: Column): Column =
     size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
       .cast("long")
 
