@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.RelationalOps
-import graft.ops.{CurationOps, DedupOps, ExtractQueries, MultimodalOps, TextOps, VectorOps}
+import graft.ops.{CurationOps, DedupOps, ExtractQueries, MultimodalOps, SamplingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,9 @@ object SparkEntry {
     "t2_quality" -> (TextOps.quality _),
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
+    // dataset mixing / sampling
+    "s1_hash_sample" -> (SamplingOps.hashSample _),
+    "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
     "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
@@ -123,6 +126,8 @@ object SparkEntry {
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
+    "s1_hash_sample" -> SamplingOps.hashSampleSql,
+    "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
     "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)

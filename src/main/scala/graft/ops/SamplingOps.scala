@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-mixing operators for a training-data pipeline over the
+  * `documents` table: deterministic hash-based stratified sampling (the
+  * rate-driven mixer) and exact per-stratum quota selection (the
+  * count-driven mixer). Corpus construction for LLM training re-weights
+  * domains ("sample Wikipedia at 3x, Common Crawl at 0.3x"); both
+  * operators express that re-weighting reproducibly — no RNG state, no
+  * `TABLESAMPLE` (whose split-level bernoulli draw is neither stable
+  * across runs nor expressible in the DuckDB oracle).
+  *
+  * Membership rule shared by both engines bit-exactly: a document's sample
+  * key is `md5(CAST(doc_id AS STRING))` — lowercase hex in Spark and
+  * DuckDB alike — and rate tests compare the FIRST 6 HEX CHARS
+  * LEXICOGRAPHICALLY against a per-stratum threshold literal. Equal-length
+  * lowercase-hex strings compare identically to their numeric values in
+  * both engines, so no integer parsing (whose width/signedness could
+  * diverge) ever happens. A permille rate r maps to the threshold
+  * `hex6(floor(r/1000 * 16^6))`; the quantization error is < 2^-24,
+  * invisible next to binomial sampling noise at any corpus size.
+  *
+  * Scale: s1 is a stateless map-side filter — ONE scan, ZERO shuffles,
+  * and the scan reads only (doc_id, source): the mixture decision never
+  * touches `text`, so at 100 TB the sampler moves ids, not the corpus
+  * (plan-gated in SamplingSpec). s2's exact quotas need a per-stratum
+  * rank — one hash Exchange keyed on the stratum, skew bounded by the
+  * largest stratum; at web scale prefer s1 with rate = quota/count (a
+  * cheap first-pass count), whose O(sqrt(n)) binomial error is below
+  * curation noise, and reserve s2 for the final small-stratum exact cut.
+  */
+object SamplingOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The declared mixture: permille sampling rate per source stratum.
+    * Deterministic spread over the 20 corpus sources (50‰ … 905‰, all
+    * distinct mod the formula) standing in for a real domain-weight
+    * config; a production mixture would arrive as a config literal the
+    * same way.
+    */
+  val RatePermille: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (50 + (i * 45) % 900))
+
+  /** Exact per-stratum document quotas for the count-driven mixer. */
+  val Quota: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (2 + (i * 3) % 16))
+
+  /** 6-hex-char threshold for a permille rate: hex6(floor(r/1000·16^6)).
+    * Domain 0..999 — permille 1000 would need a 7th hex char and break the
+    * equal-length lexicographic compare (take the whole stratum instead of
+    * sampling it). Enforced here; the mixture literal stays in-domain by
+    * construction (SamplingSpec re-checks).
+    */
+  private[ops] def rateThreshold(permille: Int): String = {
+    require(permille >= 0 && permille <= 999, s"permille out of [0,999]: $permille")
+    f"${(permille.toLong << 24) / 1000L}%06x"
+  }
+
+  private def sampleKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 6)
+
+  /** s1 — rate-driven stratified sample: keep a document iff its md5 key
+    * falls under its stratum's threshold. Map-only; reads 2 of 5 columns.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = RatePermille.foldLeft(lit("000000")) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(rateThreshold(r))).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(sampleKey(col("doc_id")) < thr)
+      .orderBy("doc_id")
+  }
+
+  def hashSampleSql: String = {
+    val cases = RatePermille
+      .map { case (src, r) => s"WHEN '$src' THEN '${rateThreshold(r)}'" }
+      .mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+             < (CASE source $cases ELSE '000000' END)
+       ORDER BY doc_id"""
+  }
+
+  /** s2 — exact per-stratum quota: rank documents inside each source by
+    * their md5 key (a stable pseudo-random order; doc_id breaks the
+    * impossible tie) and keep rank <= quota(source). One Exchange on the
+    * stratum key; strata smaller than their quota are taken whole.
+    */
+  def mixtureQuota(spark: SparkSession, dir: String): DataFrame = {
+    val quota = Quota.foldLeft(lit(0)) { case (acc, (src, q)) =>
+      when(col("source") === src, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(sampleKey(col("doc_id")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .orderBy("source", "rk")
+  }
+
+  def mixtureQuotaSql: String = {
+    val cases = Quota
+      .map { case (src, q) => s"WHEN '$src' THEN $q" }
+      .mkString(" ")
+    s"""WITH ranked AS (
+         SELECT doc_id, source,
+           CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), doc_id
+           ) AS INT) AS rk
+         FROM documents)
+       SELECT doc_id, source, rk FROM ranked
+       WHERE rk <= (CASE source $cases ELSE 0 END)
+       ORDER BY source, rk"""
+  }
+}
