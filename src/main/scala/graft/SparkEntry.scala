@@ -60,6 +60,7 @@ object SparkEntry {
     "d8_lsh_clusters" -> (DedupOps.lshClusters _),
     "d6_embed_neardup" -> (DedupOps.embedNearDup _),
     "d7_lsh_neardup" -> (DedupOps.lshNearDup _),
+    "d9_decontaminate" -> (DedupOps.decontaminate _),
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "t2_quality" -> (TextOps.quality _),
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
+    "t5_repetition" -> (TextOps.repetition _),
     // dataset mixing / sampling
     "s1_hash_sample" -> (SamplingOps.hashSample _),
     "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
@@ -115,6 +117,7 @@ object SparkEntry {
     "d8_lsh_clusters" -> DedupOps.lshClustersSql,
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
+    "d9_decontaminate" -> DedupOps.decontaminateSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
     "v2_lsh_buckets" -> VectorOps.lshBucketsSql,
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,
@@ -126,6 +129,7 @@ object SparkEntry {
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
+    "t5_repetition" -> TextOps.repetitionSql,
     "s1_hash_sample" -> SamplingOps.hashSampleSql,
     "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,

@@ -570,4 +570,56 @@ object DedupOps {
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lbl ORDER BY doc_id"""
   }
+
+  /** d9's stand-in benchmark predicate: every 97th doc_id plays the role
+    * of a held-out eval document. A real pipeline swaps this for the
+    * actual benchmark corpus (MMLU/GSM8K/... files); everything below is
+    * agnostic to where the benchmark rows come from.
+    */
+  private def isBenchmark(id: Column): Column = id % 97 === 0
+
+  /** d9 — training/eval decontamination: flag every training document that
+    * shares at least one word-3-gram with the benchmark set, with the
+    * count of distinct shared shingle hashes. The standard pre-training
+    * hygiene step (an eval question leaking into the training set inflates
+    * measured accuracy); n-gram overlap is the method GPT-3/PaLM/Llama
+    * report.
+    *
+    * Scale shape: the benchmark side is SMALL by definition (eval suites
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle-hash set is BROADCAST — the training corpus is never
+    * shuffled: one scan, per-row native shingling, explode, broadcast
+    * hash-join, then a doc_id-keyed aggregate over only the MATCHED rows
+    * (contamination hits, a vanishing fraction at real scale). Collision
+    * semantics follow the d2 family: overlap counts distinct 60-bit
+    * hashes, identical in the DuckDB oracle. On the synthetic corpus the
+    * ~40-word vocabulary makes 3-gram overlap near-universal, so most
+    * docs are flagged with small counts — the values are data-determined;
+    * the operator's selectivity at web scale comes from real benchmarks'
+    * rarer shingles.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShinglesOn(docs(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+    val benchShingles = sh.filter(isBenchmark(col("doc_id")))
+      .select("h").distinct()
+    sh.filter(!isBenchmark(col("doc_id")))
+      .join(broadcast(benchShingles), "h")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh),
+       bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 97 = 0)
+       SELECT doc_id, count(DISTINCT h) AS n_overlap
+       FROM hs JOIN bench USING (h)
+       WHERE doc_id % 97 <> 0
+       GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -170,4 +170,44 @@ object TextOps {
     """SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fingerprint
        FROM documents ORDER BY doc_id"""
+
+  /** t5 — within-document repetition stats (the Gopher-rule family): total
+    * tokens, distinct tokens, duplicate-token fraction, and the most
+    * frequent token's share. High duplicate/top fractions mark boilerplate
+    * and degenerate generations a pretraining pipeline drops.
+    *
+    * Scale shape: one explode + two doc-keyed hash aggregates. The first
+    * groupBy(doc_id, tok) map-side-combines to the per-doc DISTINCT token
+    * count before shuffling — the shuffle carries (doc, distinct-token)
+    * pairs, not the token stream; the second collapses to one row per doc.
+    * No windows, no joins; fractions are exact IEEE doubles from integer
+    * counts, so the DuckDB oracle matches bit-for-bit.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val freq = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    freq.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        (col("top_count").cast("double") / col("n_tokens")).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       freq AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct, max(c) AS top_count
+              FROM freq GROUP BY doc_id)
+       SELECT doc_id, n_tokens, n_distinct,
+         CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+         CAST(top_count AS DOUBLE) / n_tokens AS top_frac
+       FROM st ORDER BY doc_id"""
 }
