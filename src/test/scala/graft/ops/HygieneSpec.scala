@@ -77,4 +77,11 @@ class HygieneSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4))).toSeq
     assert(got == expected)
   }
+
+  test("t5 plan: zero shuffles beyond the presentation sort (native per-row stats)") {
+    val plan = TextOps.repetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
 }
