@@ -71,6 +71,7 @@ object SparkEntry {
     "t1_langid" -> (TextOps.langId _),
     "c1_curation_funnel" -> (CurationOps.curationFunnel _),
     "c2_curated_docs" -> (CurationOps.curatedDocs _),
+    "c3_curated_mixture" -> (CurationOps.curatedMixture _),
     "t2_quality" -> (TextOps.quality _),
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "t1_langid" -> TextOps.langIdSql,
     "c1_curation_funnel" -> CurationOps.curationFunnelSql,
     "c2_curated_docs" -> CurationOps.curatedDocsSql,
+    "c3_curated_mixture" -> CurationOps.curatedMixtureSql,
     "t2_quality" -> TextOps.qualitySql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,

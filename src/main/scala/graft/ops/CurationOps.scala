@@ -197,4 +197,48 @@ object CurationOps {
     s"""WITH $curationCtes
        SELECT doc_id, lang_pred, CAST(n_bpe AS BIGINT) AS n_bpe
        FROM s4 ORDER BY doc_id"""
+
+  /** c3's declared language mixture over the curated set: downsample the
+    * dominant language, keep most of the rest — the "rebalance the crawl"
+    * step every multilingual pretraining mix runs. 'und' never appears
+    * (stage 1 filtered it).
+    */
+  val MixPermille: Seq[(String, Int)] =
+    Seq("en" -> 250, "es" -> 900, "de" -> 900, "fr" -> 900)
+
+  /** c3 — the END-TO-END pipeline as one query: the c1/c2 curation funnel
+    * (lang → quality → exact dedup → near-dup) composed with s1's
+    * deterministic md5-threshold mixer, stratified by the funnel's OWN
+    * language pick. This is the table a training run actually reads:
+    * curated survivors, rebalanced to the declared language mixture.
+    *
+    * Scale shape: the mixer adds a stateless map filter on top of the
+    * curation spine — zero additional shuffles, zero additional scans
+    * (the flags are already materialized once per spine; the threshold is
+    * a plan-time literal CASE). Membership is the s1 rule exactly
+    * ([[SamplingOps.rateThreshold]] 6-hex lexicographic compare), so the
+    * DuckDB oracle composes c2's CTEs with the same CASE verbatim.
+    */
+  def curatedMixture(spark: SparkSession, dir: String): DataFrame = {
+    val thr = MixPermille.foldLeft(lit("000000")) { case (acc, (l, r)) =>
+      when(col("lang_pred") === l, lit(SamplingOps.rateThreshold(r))).otherwise(acc)
+    }
+    stagedDocs(spark, dir)
+      .filter(col("last_stage") === 4)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 6) < thr)
+      .select(col("doc_id"), col("lang_pred"), col("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  def curatedMixtureSql: String = {
+    val cases = MixPermille
+      .map { case (l, r) => s"WHEN '$l' THEN '${SamplingOps.rateThreshold(r)}'" }
+      .mkString(" ")
+    s"""WITH $curationCtes
+       SELECT doc_id, lang_pred, CAST(n_bpe AS BIGINT) AS n_bpe
+       FROM s4
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+             < (CASE lang_pred $cases ELSE '000000' END)
+       ORDER BY doc_id"""
+  }
 }

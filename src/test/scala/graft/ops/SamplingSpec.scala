@@ -88,6 +88,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("c3 = c2's curated survivors filtered by the JVM-recomputed lang-mixture rule") {
+    val rates = CurationOps.MixPermille.toMap
+    val curated = CurationOps.curatedDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = curated.filter { case (id, lang, _) =>
+      md5Hex6(id.toString) < SamplingOps.rateThreshold(rates(lang))
+    }.sortBy(_._1).toSeq
+    val got = CurationOps.curatedMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < curated.length,
+      "mixer must thin the curated set without emptying it at sf0.01")
+  }
+
   test("s1 plan: map-only scan, zero Exchange before the presentation sort, text never read") {
     val plan = SamplingOps.hashSample(spark, sfDir)
       .queryExecution.executedPlan.toString
