@@ -571,6 +571,30 @@ object DedupOps {
        FROM lbl ORDER BY doc_id"""
   }
 
+  /** The (doc_id, band, key) LSH band index over any (doc_id, text) frame
+    * — the d4 banding (4 bands × 2 minhash rows, same seeds/hash) as a
+    * reusable index: one native [[graft.functions.MinHashSigs]] evaluation
+    * per row, an in-row band-key explode, zero shuffles. Batch callers
+    * group it by (band, key) for pair expansion; the streaming near-dup
+    * flagger ([[graft.streaming.StreamingOps.nearDupAgainstIndex]]) joins
+    * an incoming stream's band keys against a static snapshot of it.
+    * Key encoding = `concat_ws("_", mh_{2b}, mh_{2b+1})`, identical to
+    * [[lshPairs]]'s.
+    */
+  private[graft] def bandKeysOn(d: DataFrame): DataFrame = {
+    val sigs = d.select(col("doc_id"),
+      graft.functions.TextShingles.minHashSigCol(col("text"), MinHashSeeds)
+        .as("sigs"))
+      .filter(col("sigs").isNotNull)
+    val bandKeys = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col("sigs").getItem(2 * b), col("sigs").getItem(2 * b + 1))
+          .as("key"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** d9's stand-in benchmark predicate: every 97th doc_id plays the role
     * of a held-out eval document. A real pipeline swaps this for the
     * actual benchmark corpus (MMLU/GSM8K/... files); everything below is

@@ -87,4 +87,30 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming NEAR-dup flagging against a static corpus LSH index — the
+    * continuous-ingest shape of d4/d7: each incoming document is checked
+    * against the already-curated corpus without ever re-shuffling the
+    * corpus. `index` is a static (doc_id, band, key) frame
+    * ([[graft.ops.DedupOps.bandKeysOn]] over the corpus — at production
+    * scale, written once at curation time and read as a table); `stream`
+    * is a streaming (doc_id, text) frame.
+    *
+    * The stream side is fully STATELESS: one native MinHashSigs
+    * evaluation per row, an in-row 4-band key explode, then a
+    * stream-static inner equi-join on (band, key) — no watermark, no
+    * state store, per-micro-batch cost = |batch| × bands index probes
+    * regardless of how long the stream has run. Emits one row per
+    * (incoming doc, corpus doc, band) candidate hit; exact-similarity
+    * rescoring and cross-band dedup happen downstream per micro-batch
+    * (`foreachBatch` + [[graft.ops.DedupOps]] machinery), where they are
+    * ordinary batch operations on a vanishing fraction of rows.
+    */
+  def nearDupAgainstIndex(stream: DataFrame, index: DataFrame): DataFrame =
+    graft.ops.DedupOps.bandKeysOn(stream)
+      .withColumnRenamed("doc_id", "in_doc_id")
+      .join(index.withColumnRenamed("doc_id", "corpus_doc_id"),
+        Seq("band", "key"))
+      .filter(col("in_doc_id") =!= col("corpus_doc_id"))
+      .select(col("in_doc_id"), col("corpus_doc_id"), col("band"))
 }

@@ -71,6 +71,59 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(m.contains((ts("2026-01-01 10:05:00"), "text", 1L, 2L, 0L)), m.toString)
   }
 
+  test("nearDupAgainstIndex: streaming candidates = batch join, stateless across waves") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft_snear_").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val sfDir = "/root/testdata/sf0.001"
+
+    // static corpus index, as curation would persist it
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val index = graft.ops.DedupOps.bandKeysOn(corpus)
+
+    // incoming docs: two re-ingested corpus texts under new ids (guaranteed
+    // band collisions), one short doc (<3 tokens -> no signature -> no
+    // output), one fresh doc
+    val texts = corpus.orderBy("doc_id").limit(2).collect().map(_.getString(1))
+    val wave1 = Seq((10001L, texts(0)), (10002L, "too short"))
+    val wave2 = Seq((10003L, texts(1)), (10004L, "completely novel words nowhere in corpus"))
+
+    def runWave(rows: Seq[(Long, String)], wave: Int): Unit = {
+      rows.toDF("doc_id", "text").write.parquet(s"$in/wave=$wave")
+      val q = spark.readStream
+        .schema("doc_id long, text string")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$in/*")
+        .transform(df => StreamingOps.nearDupAgainstIndex(df, index))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("parquet")
+        .option("path", s"$out/hits")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
+    runWave(wave1, 1)
+    runWave(wave2, 2)
+
+    val got = spark.read.parquet(s"$out/hits")
+      .select("in_doc_id", "corpus_doc_id", "band")
+      .as[(Long, Long, Int)].collect().toSet
+    // batch parity: the same operator over the same rows as a static frame
+    val expected = StreamingOps.nearDupAgainstIndex(
+        (wave1 ++ wave2).toDF("doc_id", "text"), index)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+    // the re-ingested texts MUST hit their source docs on every band
+    val hitsBySrc = got.groupBy(_._1)
+    assert(hitsBySrc.contains(10001L) && hitsBySrc.contains(10003L), got.toString)
+    assert(!hitsBySrc.contains(10002L), "a <3-token doc has no signature")
+  }
+
   test("firstSeenDedup: one emission per content hash across micro-batches, state keyed+timed out") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sdedup_").toString
