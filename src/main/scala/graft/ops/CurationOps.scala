@@ -219,26 +219,19 @@ object CurationOps {
     * ([[SamplingOps.rateThreshold]] 6-hex lexicographic compare), so the
     * DuckDB oracle composes c2's CTEs with the same CASE verbatim.
     */
-  def curatedMixture(spark: SparkSession, dir: String): DataFrame = {
-    val thr = MixPermille.foldLeft(lit("000000")) { case (acc, (l, r)) =>
-      when(col("lang_pred") === l, lit(SamplingOps.rateThreshold(r))).otherwise(acc)
-    }
+  def curatedMixture(spark: SparkSession, dir: String): DataFrame =
     stagedDocs(spark, dir)
       .filter(col("last_stage") === 4)
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 6) < thr)
+      .filter(SamplingOps.sampleKey(col("doc_id"))
+        < SamplingOps.thresholdExpr(col("lang_pred"), MixPermille))
       .select(col("doc_id"), col("lang_pred"), col("n_bpe"))
       .orderBy("doc_id")
-  }
 
-  def curatedMixtureSql: String = {
-    val cases = MixPermille
-      .map { case (l, r) => s"WHEN '$l' THEN '${SamplingOps.rateThreshold(r)}'" }
-      .mkString(" ")
+  def curatedMixtureSql: String =
     s"""WITH $curationCtes
        SELECT doc_id, lang_pred, CAST(n_bpe AS BIGINT) AS n_bpe
        FROM s4
-       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
-             < (CASE lang_pred $cases ELSE '000000' END)
+       WHERE ${SamplingOps.sampleKeySql("doc_id")}
+             < ${SamplingOps.thresholdCaseSql("lang_pred", MixPermille)}
        ORDER BY doc_id"""
-  }
 }

@@ -221,15 +221,14 @@ object DedupOps {
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsRaw(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** [[lshPairs]] without the presentation sort — the edge set d8 clusters. */
+  /** [[lshPairs]] without the presentation sort — the edge set d8 clusters.
+    * Band keys come from the ONE shared encoding, [[bandKeysOn]] (also the
+    * streaming flagger's index builder), so batch pairing and streaming
+    * probes can never drift apart.
+    */
   private[ops] def lshPairsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashRaw(spark, dir)
-    val bandKeys = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
-    }: _*)
-    mh.select(col("doc_id"), explode(bandKeys).as("bk"))
-      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+    bandKeysOn(docs(spark, dir))
+      .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -578,8 +577,9 @@ object DedupOps {
     * group it by (band, key) for pair expansion; the streaming near-dup
     * flagger ([[graft.streaming.StreamingOps.nearDupAgainstIndex]]) joins
     * an incoming stream's band keys against a static snapshot of it.
-    * Key encoding = `concat_ws("_", mh_{2b}, mh_{2b+1})`, identical to
-    * [[lshPairs]]'s.
+    * Key encoding = `concat_ws("_", mh_{2b}, mh_{2b+1})`; this is THE
+    * band-key encoding — [[lshPairsRaw]] (d4/d8) groups this same frame,
+    * so batch pairing and streaming probes share one definition.
     */
   private[graft] def bandKeysOn(d: DataFrame): DataFrame = {
     val sigs = d.select(col("doc_id"),
@@ -595,12 +595,16 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** d9's stand-in benchmark predicate: every 97th doc_id plays the role
-    * of a held-out eval document. A real pipeline swaps this for the
-    * actual benchmark corpus (MMLU/GSM8K/... files); everything below is
-    * agnostic to where the benchmark rows come from.
+  /** d9's stand-in benchmark predicate: every [[BenchmarkMod]]-th doc_id
+    * plays the role of a held-out eval document. A real pipeline swaps
+    * this for the actual benchmark corpus (MMLU/GSM8K/... files);
+    * everything below is agnostic to where the benchmark rows come from.
+    * The modulus is interpolated into the DuckDB oracle and re-used by
+    * HygieneSpec, so changing the stand-in stays a one-line edit.
     */
-  private def isBenchmark(id: Column): Column = id % 97 === 0
+  val BenchmarkMod = 97
+
+  private def isBenchmark(id: Column): Column = id % BenchmarkMod === 0
 
   /** d9 — training/eval decontamination: flag every training document that
     * shares at least one word-3-gram with the benchmark set, with the
@@ -612,18 +616,23 @@ object DedupOps {
     * Scale shape: the benchmark side is SMALL by definition (eval suites
     * are thousands of docs, the corpus is billions), so its distinct
     * shingle-hash set is BROADCAST — the training corpus is never
-    * shuffled: one scan, per-row native shingling, explode, broadcast
-    * hash-join, then a doc_id-keyed aggregate over only the MATCHED rows
-    * (contamination hits, a vanishing fraction at real scale). Collision
-    * semantics follow the d2 family: overlap counts distinct 60-bit
-    * hashes, identical in the DuckDB oracle. On the synthetic corpus the
-    * ~40-word vocabulary makes 3-gram overlap near-universal, so most
-    * docs are flagged with small counts — the values are data-determined;
-    * the operator's selectivity at web scale comes from real benchmarks'
-    * rarer shingles.
+    * shuffled: ONE scan + shingling pass (the compact per-doc hash-array
+    * frame — doc_id + longs, no text — is materialized via localCheckpoint
+    * so the benchmark and training branches read the same blocks instead
+    * of each re-scanning the parquet and re-shingling; production swaps
+    * that for checkpoint()/a persisted table, the CurationOps spine note),
+    * explode, broadcast hash-join, then a doc_id-keyed aggregate over only
+    * the MATCHED rows (contamination hits, a vanishing fraction at real
+    * scale). Collision semantics follow the d2 family: overlap counts
+    * distinct 60-bit hashes, identical in the DuckDB oracle. On the
+    * synthetic corpus the ~40-word vocabulary makes 3-gram overlap
+    * near-universal, so most docs are flagged with small counts — the
+    * values are data-determined; the operator's selectivity at web scale
+    * comes from real benchmarks' rarer shingles.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShinglesOn(docs(spark, dir))
+      .localCheckpoint()
       .select(col("doc_id"), explode(col("shingles")).as("h"))
     val benchShingles = sh.filter(isBenchmark(col("doc_id")))
       .select("h").distinct()
@@ -641,9 +650,9 @@ object DedupOps {
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
               FROM toks),
        hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh),
-       bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 97 = 0)
+       bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % $BenchmarkMod = 0)
        SELECT doc_id, count(DISTINCT h) AS n_overlap
        FROM hs JOIN bench USING (h)
-       WHERE doc_id % 97 <> 0
+       WHERE doc_id % $BenchmarkMod <> 0
        GROUP BY doc_id ORDER BY doc_id"""
 }

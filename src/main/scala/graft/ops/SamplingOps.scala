@@ -61,31 +61,47 @@ object SamplingOps {
     f"${(permille.toLong << 24) / 1000L}%06x"
   }
 
-  private def sampleKey(idCol: Column): Column =
+  /** The document's sample key: first 6 hex chars of md5(doc_id-as-string).
+    * Shared with c3 ([[CurationOps.curatedMixture]]) — ONE definition of
+    * the membership rule, not hand-synced copies.
+    */
+  private[ops] def sampleKey(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 6)
+
+  /** The per-stratum threshold literal as a CASE over `strat` — the Spark
+    * half of the membership rule. [[thresholdCaseSql]] is its DuckDB twin.
+    */
+  private[ops] def thresholdExpr(strat: Column, rates: Seq[(String, Int)]): Column =
+    rates.foldLeft(lit("000000")) { case (acc, (s, r)) =>
+      when(strat === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+
+  /** DuckDB CASE mirroring [[thresholdExpr]] over stratum column `strat`. */
+  private[ops] def thresholdCaseSql(strat: String, rates: Seq[(String, Int)]): String = {
+    val cases = rates
+      .map { case (s, r) => s"WHEN '$s' THEN '${rateThreshold(r)}'" }
+      .mkString(" ")
+    s"(CASE $strat $cases ELSE '000000' END)"
+  }
+
+  /** DuckDB twin of [[sampleKey]]. */
+  private[ops] def sampleKeySql(idCol: String): String =
+    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 6)"
 
   /** s1 — rate-driven stratified sample: keep a document iff its md5 key
     * falls under its stratum's threshold. Map-only; reads 2 of 5 columns.
     */
-  def hashSample(spark: SparkSession, dir: String): DataFrame = {
-    val thr = RatePermille.foldLeft(lit("000000")) { case (acc, (src, r)) =>
-      when(col("source") === src, lit(rateThreshold(r))).otherwise(acc)
-    }
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("source"))
-      .filter(sampleKey(col("doc_id")) < thr)
+      .filter(sampleKey(col("doc_id")) < thresholdExpr(col("source"), RatePermille))
       .orderBy("doc_id")
-  }
 
-  def hashSampleSql: String = {
-    val cases = RatePermille
-      .map { case (src, r) => s"WHEN '$src' THEN '${rateThreshold(r)}'" }
-      .mkString(" ")
+  def hashSampleSql: String =
     s"""SELECT doc_id, source FROM documents
-       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
-             < (CASE source $cases ELSE '000000' END)
+       WHERE ${sampleKeySql("doc_id")}
+             < ${thresholdCaseSql("source", RatePermille)}
        ORDER BY doc_id"""
-  }
 
   /** s2 — exact per-stratum quota: rank documents inside each source by
     * their md5 key (a stable pseudo-random order; doc_id breaks the

@@ -41,17 +41,18 @@ class HygieneSpec extends AnyFunSuite {
   }
 
   test("d9 overlap counts equal the JVM-re-derived shingle-set intersections") {
+    val mod = DedupOps.BenchmarkMod
     val rows = docRows()
-    val benchSet = rows.filter(_._1 % 97 == 0).flatMap(r => shingles(r._2)).toSet
+    val benchSet = rows.filter(_._1 % mod == 0).flatMap(r => shingles(r._2)).toSet
     assert(benchSet.nonEmpty, "stand-in benchmark must be non-empty at sf0.001")
-    val expected = rows.filter(_._1 % 97 != 0)
+    val expected = rows.filter(_._1 % mod != 0)
       .map { case (id, tx) => (id, (shingles(tx) & benchSet).size.toLong) }
       .filter(_._2 > 0).sortBy(_._1)
     val got = DedupOps.decontaminate(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected)
     // benchmark docs themselves are never reported as contaminated
-    assert(got.forall(_._1 % 97 != 0))
+    assert(got.forall(_._1 % mod != 0))
   }
 
   test("d9 plan: benchmark side broadcast, corpus never sort-merge-joined") {

@@ -85,11 +85,12 @@ class StreamingOpsSpec extends AnyFunSuite {
     val index = graft.ops.DedupOps.bandKeysOn(corpus)
 
     // incoming docs: two re-ingested corpus texts under new ids (guaranteed
-    // band collisions), one short doc (<3 tokens -> no signature -> no
-    // output), one fresh doc
-    val texts = corpus.orderBy("doc_id").limit(2).collect().map(_.getString(1))
-    val wave1 = Seq((10001L, texts(0)), (10002L, "too short"))
-    val wave2 = Seq((10003L, texts(1)), (10004L, "completely novel words nowhere in corpus"))
+    // band collisions with their source docs), one short doc (<3 tokens ->
+    // no signature -> no output), one fresh doc
+    val srcs = corpus.orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wave1 = Seq((10001L, srcs(0)._2), (10002L, "too short"))
+    val wave2 = Seq((10003L, srcs(1)._2), (10004L, "completely novel words nowhere in corpus"))
 
     def runWave(rows: Seq[(Long, String)], wave: Int): Unit = {
       rows.toDF("doc_id", "text").write.parquet(s"$in/wave=$wave")
@@ -118,10 +119,16 @@ class StreamingOpsSpec extends AnyFunSuite {
         (wave1 ++ wave2).toDF("doc_id", "text"), index)
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expected)
-    // the re-ingested texts MUST hit their source docs on every band
-    val hitsBySrc = got.groupBy(_._1)
-    assert(hitsBySrc.contains(10001L) && hitsBySrc.contains(10003L), got.toString)
-    assert(!hitsBySrc.contains(10002L), "a <3-token doc has no signature")
+    // the re-ingested texts MUST hit exactly their source docs on EVERY
+    // band (identical text => identical signature => all 4 band keys match)
+    Seq(10001L -> srcs(0)._1, 10003L -> srcs(1)._1).foreach {
+      case (newId, srcId) =>
+        (0 until 4).foreach { b =>
+          assert(got.contains((newId, srcId, b)),
+            s"missing band $b hit for $newId -> $srcId in $got")
+        }
+    }
+    assert(!got.exists(_._1 == 10002L), "a <3-token doc has no signature")
   }
 
   test("firstSeenDedup: one emission per content hash across micro-batches, state keyed+timed out") {
