@@ -61,6 +61,7 @@ object SparkEntry {
     "d6_embed_neardup" -> (DedupOps.embedNearDup _),
     "d7_lsh_neardup" -> (DedupOps.lshNearDup _),
     "d9_decontaminate" -> (DedupOps.decontaminate _),
+    "d10_boilerplate" -> (DedupOps.boilerplate _),
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
@@ -76,9 +77,11 @@ object SparkEntry {
     "t3_token_count" -> (TextOps.tokenCount _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
     "t5_repetition" -> (TextOps.repetition _),
+    "t6_vocab" -> (TextOps.vocab _),
     // dataset mixing / sampling
     "s1_hash_sample" -> (SamplingOps.hashSample _),
     "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
+    "s3_temperature_weights" -> (SamplingOps.temperatureWeights _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
     "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
@@ -119,6 +122,7 @@ object SparkEntry {
     "d6_embed_neardup" -> DedupOps.embedNearDupSql,
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "d9_decontaminate" -> DedupOps.decontaminateSql,
+    "d10_boilerplate" -> DedupOps.boilerplateSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
     "v2_lsh_buckets" -> VectorOps.lshBucketsSql,
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,
@@ -132,8 +136,10 @@ object SparkEntry {
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
     "t5_repetition" -> TextOps.repetitionSql,
+    "t6_vocab" -> TextOps.vocabSql,
     "s1_hash_sample" -> SamplingOps.hashSampleSql,
     "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
+    "s3_temperature_weights" -> SamplingOps.temperatureWeightsSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
     "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)

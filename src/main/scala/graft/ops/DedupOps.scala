@@ -655,4 +655,79 @@ object DedupOps {
        FROM hs JOIN bench USING (h)
        WHERE doc_id % $BenchmarkMod <> 0
        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Hot-phrase thresholds for [[boilerplate]] (d10). A shingle is
+    * boilerplate when its document frequency reaches BOTH bounds:
+    * `df >= HotDfMin` (absolute floor so tiny corpora don't flag noise)
+    * and `df * 1000 >= n_docs * HotFracPermille` — i.e. the phrase occurs
+    * in at least 0.8% of ALL documents. The fractional bound is the scale
+    * contract: it caps the hot set's total postings at
+    * `1000/HotFracPermille × avg-shingles-per-doc` entries REGARDLESS of
+    * corpus row count (a phrase must own ≥0.8% of all docs to qualify, so
+    * at most 125 such phrases exist per average doc length), which is what
+    * makes the broadcast below safe at 10^12 documents. Integer
+    * arithmetic on both sides — no double `frac * n` whose DECIMAL-vs-
+    * binary parse could diverge between engines.
+    */
+  val HotDfMin = 4
+  val HotFracPermille = 8L
+
+  /** d10 — corpus-level boilerplate detection (the CCNet/RefinedWeb
+    * repeated-segment hygiene step): per document, how many of its
+    * distinct word-3-grams are corpus-hot phrases (headers, footers,
+    * cookie banners — text repeated verbatim across a meaningful fraction
+    * of the corpus), the boilerplate fraction, and a heavy flag
+    * (`n_boiler*2 >= n_shingles`, integer-exact). Documents that are
+    * mostly boilerplate are dropped or stripped before training.
+    *
+    * Scale shape: ONE corpus scan + shingling pass materialized as the
+    * compact per-doc hash-array frame (localCheckpoint, the d9 spine —
+    * doc_id + longs, no text) feeds both branches; the df aggregate is the
+    * single full-size Exchange (map-side combinable, keyed on the 60-bit
+    * hash, no skew — every key's count is bounded by n_docs); the hot set
+    * is broadcast (small by the fractional-threshold argument above); the
+    * per-doc count re-aggregates on unique doc ids (second Exchange,
+    * map-side combine to ≤1 row/doc/partition). Collision semantics follow
+    * the d2 family — hot membership is by 60-bit hash, identical in the
+    * DuckDB oracle. Docs with <3 words have no shingles and no row (both
+    * engines).
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val shArr = hashedShinglesOn(docs(spark, dir)).localCheckpoint()
+    val sh = shArr.select(col("doc_id"),
+      size(col("shingles")).as("n_shingles"),
+      explode(col("shingles")).as("h"))
+    val nCorpus = shArr.agg(count(lit(1)).as("n_corpus"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nCorpus))
+      .filter(col("df") >= HotDfMin &&
+        col("df") * 1000L >= col("n_corpus") * HotFracPermille)
+      .select(col("h"), lit(1).as("is_hot"))
+    sh.join(broadcast(hot), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(col("is_hot")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"),
+        (col("n_boiler") * 2 >= col("n_shingles")).cast("int").as("is_heavy"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t)-2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+              FROM toks),
+       hs AS (SELECT doc_id, ${tokHashSql("shingle")} AS h FROM sh),
+       dfq AS (SELECT h, count(*) AS df FROM hs GROUP BY 1),
+       n AS (SELECT count(*) AS n_corpus FROM documents),
+       hot AS (SELECT h FROM dfq, n
+               WHERE df >= $HotDfMin AND df*1000 >= n_corpus*$HotFracPermille),
+       per AS (SELECT hs.doc_id, CAST(count(*) AS INT) AS n_shingles,
+                      count(hot.h) AS n_boiler
+               FROM hs LEFT JOIN hot ON hs.h = hot.h GROUP BY 1)
+       SELECT doc_id, n_shingles, n_boiler,
+              CAST(n_boiler AS DOUBLE)/n_shingles AS boiler_frac,
+              CAST(n_boiler*2 >= n_shingles AS INT) AS is_heavy
+       FROM per ORDER BY doc_id"""
 }

@@ -136,4 +136,54 @@ object SamplingOps {
        WHERE rk <= (CASE source $cases ELSE 0 END)
        ORDER BY source, rk"""
   }
+
+  /** s3 — temperature-based mixture weights (the multilingual/domain
+    * re-balancing rule of mBERT/XLM-R/PaLM data recipes): per source
+    * stratum s with token mass n_s, sampling weight
+    * w_s = n_s^α / Σ_t n_t^α at temperature α = 1/2, plus the boost factor
+    * w_s / (n_s / N) — how much the stratum is up-/down-sampled relative
+    * to natural proportions (small sources get boost > 1, dominant ones
+    * < 1). α = 1/2 is computed as `sqrt`, which IEEE-754 requires to be
+    * correctly rounded — bit-identical across engines, unlike `pow`.
+    *
+    * Determinism at scale: a double Σ n_t^α depends on summation ORDER,
+    * which a distributed aggregate does not fix — so the normalizer is an
+    * EXACT integer sum of sqrt quantized to micro-units
+    * (`floor(sqrt(n_tokens)·10^6)`), order-independent under any
+    * partitioning and identical in the DuckDB oracle; the quantization
+    * error (< 10^-6 relative) is invisible next to the corpus-composition
+    * noise mixture weighting tolerates by construction. One map-side-
+    * combinable Exchange on the stratum key; the one-row totals frame is
+    * broadcast. Stratum cardinality is config-scale (domains/languages),
+    * never corpus-scale.
+    */
+  def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double")) * 1e6))
+    val tot = per.agg(sum("sq").as("z"), sum("n_tokens").as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("sq").cast("double") / col("z")).as("weight"),
+        ((col("sq").cast("double") / col("z")) /
+          (col("n_tokens").cast("double") / col("tot_tokens"))).as("boost"))
+      .orderBy("source")
+  }
+
+  def temperatureWeightsSql: String =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+       q AS (SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+           FROM per),
+       tot AS (SELECT CAST(sum(sq) AS BIGINT) AS z,
+               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM q)
+       SELECT source, n_docs, n_tokens,
+              CAST(sq AS DOUBLE)/z AS weight,
+              (CAST(sq AS DOUBLE)/z)
+                / (CAST(n_tokens AS DOUBLE)/tot_tokens) AS boost
+       FROM q, tot ORDER BY source"""
 }

@@ -210,4 +210,47 @@ object TextOps {
          CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
          CAST(top_count AS DOUBLE) / n_tokens AS top_frac
        FROM st ORDER BY doc_id"""
+
+  /** t6 — corpus vocabulary statistics (tokenizer-training prep): token
+    * frequency table with Zipf rank and cumulative corpus coverage — the
+    * table a BPE/unigram tokenizer build starts from, and the quickest
+    * sanity check on a new corpus snapshot (a coverage curve that reaches
+    * 0.99 in ten tokens means degenerate text).
+    *
+    * Scale shape: the token-frequency aggregate is the only corpus-size
+    * Exchange (map-side combinable — partial counts per partition, so
+    * shuffled rows are bounded by |vocab|·partitions, not token count).
+    * The rank/coverage window runs unpartitioned on the AGGREGATED table,
+    * whose size is the vocabulary — ≤ a few million rows for any real
+    * corpus (Heaps' law), a deliberate single-partition pass over config-
+    * scale data, not a corpus-scale sort. `cum_frac` divides two exact
+    * integers — engine-deterministic, no running double sum.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("token"))
+    cnt.select(col("token"), col("cnt"),
+        row_number().over(ord).as("rank"),
+        sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("tot"))
+      .select(col("token"), col("cnt"), col("rank"),
+        (col("cum").cast("double") / col("tot")).as("cum_frac"))
+      .orderBy("rank")
+  }
+
+  def vocabSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       w AS (SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS tot
+             FROM cnt)
+       SELECT token, cnt, rank, CAST(cum AS DOUBLE)/tot AS cum_frac
+       FROM w ORDER BY rank"""
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** d10 (boilerplate detection), t6 (vocabulary table) and s3 (temperature
+  * mixture weights) gates: values re-derived in plain JVM code over the
+  * real test table, plus the plan shapes that make each scale — d10's hot
+  * set broadcast (never sort-merge-joined against the corpus), t6's single
+  * corpus-size aggregate before the vocab-size window, s3's broadcast
+  * one-row totals.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("corpus-stats-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def shingleHash(sh: String): Long =
+    java.lang.Long.parseLong(md5Hex(sh).substring(0, 15), 16)
+
+  private def shingles(text: String): Set[Long] = {
+    val t = text.split(" ", -1)
+    (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      .distinct.map(shingleHash).toSet
+  }
+
+  private def docRows(): Seq[(Long, String, String)] = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  test("d10 boilerplate counts equal the JVM-re-derived hot-phrase membership") {
+    val rows = docRows()
+    val perDoc = rows.map { case (id, tx, _) => (id, shingles(tx)) }
+      .filter(_._2.nonEmpty)
+    val nCorpus = perDoc.size.toLong
+    val df = perDoc.flatMap(_._2).groupBy(identity).map { case (h, v) => (h, v.size.toLong) }
+    val hot = df.filter { case (_, c) =>
+      c >= DedupOps.HotDfMin && c * 1000L >= nCorpus * DedupOps.HotFracPermille
+    }.keySet
+    assert(hot.nonEmpty, "corpus template headers must produce hot phrases at sf0.001")
+    val expected = perDoc.map { case (id, sh) =>
+      val nb = sh.count(hot).toLong
+      (id, sh.size, nb, nb.toDouble / sh.size, if (nb * 2 >= sh.size) 1 else 0)
+    }.sortBy(_._1)
+    val got = DedupOps.boilerplate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("d10 plan: hot set broadcast, corpus never sort-merge-joined") {
+    val plan = DedupOps.boilerplate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("t6 vocab table equals the JVM-re-derived frequency/rank/coverage") {
+    val rows = docRows()
+    val cnt = rows.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (t, v) => (t, v.size.toLong) }.toSeq
+    val ordered = cnt.sortBy { case (t, c) => (-c, t) }
+    val tot = ordered.map(_._2).sum
+    var cum = 0L
+    val expected = ordered.zipWithIndex.map { case ((t, c), i) =>
+      cum += c
+      (t, c, i + 1, cum.toDouble / tot)
+    }
+    val got = TextOps.vocab(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // coverage is monotone and ends at exactly 1.0 (integer cum == tot)
+    assert(got.last._4 == 1.0)
+  }
+
+  test("t6 plan: corpus-size work is one partial-aggregated Exchange; the window runs post-aggregation") {
+    val qe = TextOps.vocab(spark, sfDir).queryExecution.executedPlan.toString
+    assert(qe.contains("Window"), qe)
+    // partial (map-side) aggregation before the shuffle bounds shuffled rows by |vocab|
+    assert(qe.contains("HashAggregate"), qe)
+    assert(!qe.contains("SortMergeJoin"), qe)
+  }
+
+  test("s3 temperature weights equal the JVM-re-derived sqrt-quantized mixture") {
+    val rows = docRows()
+    val per = rows.groupBy(_._3).map { case (src, v) =>
+      val nTokens = v.map(_._2.split(" ", -1).length.toLong).sum
+      (src, v.size.toLong, nTokens,
+        math.floor(math.sqrt(nTokens.toDouble) * 1e6).toLong)
+    }.toSeq.sortBy(_._1)
+    val z = per.map(_._4).sum
+    val totTokens = per.map(_._3).sum
+    val expected = per.map { case (src, nd, nt, sq) =>
+      val w = sq.toDouble / z
+      (src, nd, nt, w, w / (nt.toDouble / totTokens))
+    }
+    val got = SamplingOps.temperatureWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // weights sum to ~1 and boosts straddle 1 unless the mix is uniform
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  test("s3 plan: one-row totals broadcast, no corpus-side sort-merge join") {
+    val plan = SamplingOps.temperatureWeights(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
