@@ -82,6 +82,7 @@ object SparkEntry {
     "s1_hash_sample" -> (SamplingOps.hashSample _),
     "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
     "s3_temperature_weights" -> (SamplingOps.temperatureWeights _),
+    "s4_shard_shuffle" -> (SamplingOps.shardShuffle _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
     "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "s1_hash_sample" -> SamplingOps.hashSampleSql,
     "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
     "s3_temperature_weights" -> SamplingOps.temperatureWeightsSql,
+    "s4_shard_shuffle" -> SamplingOps.shardShuffleSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
     "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)

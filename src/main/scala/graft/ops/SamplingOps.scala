@@ -172,6 +172,85 @@ object SamplingOps {
       .orderBy("source")
   }
 
+  /** Shard count for [[shardShuffle]] (s4). Test-scale literal; production
+    * sets this to ceil(corpus_bytes / target_shard_bytes) — shards are the
+    * training-time read unit (a few hundred MB each), so one sort task per
+    * shard in the write below is the intended granularity, not a skew bug.
+    */
+  val NumShards = 8
+
+  /** Salted shuffle key: md5("shard:" || doc_id). The salt decorrelates
+    * shard assignment from [[sampleKey]]'s mixture membership, so sampling
+    * and sharding are independent uniform draws from the same id.
+    */
+  private[ops] def shuffleKey(idCol: Column): Column =
+    md5(concat(lit("shard:"), idCol.cast("string")))
+
+  /** Lower hex6 boundary of shard i (i in 1..NumShards-1): the key space
+    * [0, 16^6) cut into NumShards equal lexicographic ranges. The key is
+    * uniform, so RANGE sharding on it IS hash sharding — expressed as
+    * equal-length lowercase-hex string compares, the same
+    * no-integer-parsing contract as [[rateThreshold]].
+    */
+  private[ops] def shardBoundary(i: Int): String =
+    f"${i.toLong * (1L << 24) / NumShards}%06x"
+
+  private[ops] def shardExpr(key6: Column): Column =
+    (1 until NumShards).foldLeft(lit(0)) { (acc, i) =>
+      when(key6 >= shardBoundary(i), lit(i)).otherwise(acc)
+    }
+
+  private[ops] def shardCaseSql(key6: String): String = {
+    val whens = (NumShards - 1 to 1 by -1)
+      .map(i => s"WHEN $key6 >= '${shardBoundary(i)}' THEN $i")
+      .mkString(" ")
+    s"(CASE $whens ELSE 0 END)"
+  }
+
+  /** s4 — deterministic corpus shuffle + sharding: every training run
+    * reads the corpus globally shuffled and split into fixed shards; doing
+    * it with RNG state is neither reproducible nor resumable. Here shard =
+    * lexicographic range of the salted md5 key ([[shardExpr]]) and `pos` =
+    * the document's ordinal within its shard ordered by (full key, doc_id)
+    * — a pure function of doc_id, so re-running on a grown corpus moves no
+    * previously-written row unless its shard's membership changed.
+    *
+    * Scale shape: ONE Exchange keyed on the shard plus the per-shard sort —
+    * exactly the production write (`repartition(shard)` +
+    * `sortWithinPartitions(key)`, where `pos` is implicit in file order);
+    * the window form here makes the ordinal explicit and oracle-able. Each
+    * shard sorts in one task BY DESIGN: production NumShards =
+    * corpus/target-shard-size keeps that sort file-sized (see [[NumShards]]).
+    * The scan reads (doc_id, source) only — the shuffle plan never moves
+    * document text; at 100 TB the text is rewritten by the writer tasks
+    * reading this assignment, or carried through the same plan at one
+    * shuffle of corpus size (the unavoidable cost of a global shuffle).
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = shuffleKey(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), key.as("k"))
+      .withColumn("shard", shardExpr(substring(col("k"), 1, 6)))
+      .select(col("doc_id"), col("source"), col("shard"),
+        row_number().over(w).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  def shardShuffleSql: String =
+    s"""WITH keyed AS (
+         SELECT doc_id, source,
+                md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents),
+       sharded AS (
+         SELECT doc_id, source, k,
+                ${shardCaseSql("substr(k, 1, 6)")} AS shard
+         FROM keyed)
+       SELECT doc_id, source, shard,
+              CAST(row_number() OVER (
+                PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+       FROM sharded ORDER BY shard, pos"""
+
   def temperatureWeightsSql: String =
     """WITH per AS (SELECT source, count(*) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

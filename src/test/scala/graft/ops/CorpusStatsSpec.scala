@@ -120,4 +120,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("s4 shard/pos equal the JVM-re-derived salted-key range shuffle") {
+    val rows = docRows()
+    val n = SamplingOps.NumShards
+    val bounds = (1 until n).map(i => f"${i.toLong * (1L << 24) / n}%06x")
+    val keyed = rows.map { case (id, _, src) =>
+      val k = md5Hex(s"shard:$id")
+      val k6 = k.substring(0, 6)
+      val shard = bounds.count(b => k6 >= b)
+      (id, src, k, shard)
+    }
+    val expected = keyed.groupBy(_._4).toSeq.flatMap { case (shard, v) =>
+      v.sortBy { case (id, _, k, _) => (k, id) }.zipWithIndex
+        .map { case ((id, src, _, _), i) => (id, src, shard, i + 1) }
+    }.sortBy(r => (r._3, r._4))
+    val got = SamplingOps.shardShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // determinism of the whole assignment: a pure function of doc_id
+    val again = SamplingOps.shardShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(again == got)
+    // uniformity sanity: every shard populated at 600 docs / 8 shards
+    assert(got.map(_._3).distinct.sorted == (0 until n).toSeq)
+  }
+
+  test("s4 plan: text never enters the shuffle; no joins at all") {
+    val qe = SamplingOps.shardShuffle(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // column pruning: the parquet scan must not read `text`
+    val scan = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scan.contains("text"), scan)
+  }
 }
