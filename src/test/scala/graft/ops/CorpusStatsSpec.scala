@@ -43,9 +43,11 @@ class CorpusStatsSpec extends AnyFunSuite {
 
   test("d10 boilerplate counts equal the JVM-re-derived hot-phrase membership") {
     val rows = docRows()
+    // n_corpus counts ALL documents (a <3-word doc contributes to the
+    // denominator but emits no output row) — in both engines
+    val nCorpus = rows.size.toLong
     val perDoc = rows.map { case (id, tx, _) => (id, shingles(tx)) }
       .filter(_._2.nonEmpty)
-    val nCorpus = perDoc.size.toLong
     val df = perDoc.flatMap(_._2).groupBy(identity).map { case (h, v) => (h, v.size.toLong) }
     val hot = df.filter { case (_, c) =>
       c >= DedupOps.HotDfMin && c * 1000L >= nCorpus * DedupOps.HotFracPermille
