@@ -1,6 +1,16 @@
 #!/bin/bash
 # Round-5 validation sequence (run with NOTHING else on the box; do not
 # touch src/ while this runs — each sbt invocation recompiles):
+#
+# CAVEAT measured post-campaign (BASELINE.md "round-5 final addendum"):
+# on at least one VM placement, SPARK_DRIVER_MEM=48g (-Xmx48g) degrades
+# allocation-heavy parallel Spark stages 5-20x (A/B'd: 65.8s vs 165.3s
+# bench total on the same warm box; same-JVM thread calibration
+# unaffected). The 48g legs below were healthy on the boot they ran on
+# (absolute docs/s/core matched the 8g bench), but if re-running this
+# script produces absurdly low absolute throughput with a fast
+# calibration, drop SPARK_DRIVER_MEM first — sf1.0 ScalingBench runs
+# fine at the 8g default.
 #  1. CoreScaling same-hour ceiling (pre)
 #  2. five FIXED ScalingBench pairs on sf2.0 with the new scan/shuffle
 #     decomposition probes (verdict items 1+2)
