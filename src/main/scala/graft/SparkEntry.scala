@@ -78,6 +78,8 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.fingerprint _),
     "t5_repetition" -> (TextOps.repetition _),
     "t6_vocab" -> (TextOps.vocab _),
+    "t7_pii_scrub" -> (TextOps.piiScrub _),
+    "t8_rarity" -> (TextOps.rarity _),
     // dataset mixing / sampling
     "s1_hash_sample" -> (SamplingOps.hashSample _),
     "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "t4_fingerprint" -> TextOps.fingerprintSql,
     "t5_repetition" -> TextOps.repetitionSql,
     "t6_vocab" -> TextOps.vocabSql,
+    "t7_pii_scrub" -> TextOps.piiScrubSql,
+    "t8_rarity" -> TextOps.raritySql,
     "s1_hash_sample" -> SamplingOps.hashSampleSql,
     "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
     "s3_temperature_weights" -> SamplingOps.temperatureWeightsSql,

@@ -253,4 +253,164 @@ object TextOps {
              FROM cnt)
        SELECT token, cnt, rank, CAST(cum AS DOUBLE)/tot AS cum_frac
        FROM w ORDER BY rank"""
+
+  /** PII redaction patterns — shared verbatim with the DuckDB oracle.
+    * Deliberately RE2-safe (no lookaround, no backreferences, no possessive
+    * quantifiers), so Java regex (Spark codegen) and RE2 (DuckDB) scan
+    * identically: leftmost match, greedy quantifiers over character
+    * classes have the same leftmost-first semantics in both engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** t7 — PII scrub (the Dolma/RedPajama hygiene step): count and redact
+    * email addresses, phone numbers and IPv4 addresses. The synthetic
+    * `documents` text carries no PII, so the op enriches each row with a
+    * deterministic PII suffix derived from (doc_id, source, n_chars) —
+    * built by the IDENTICAL expression in the DuckDB oracle, the m1-m3
+    * synthesis convention — then runs the real redaction machinery over
+    * it: three match-counts plus the md5/length of the fully redacted
+    * text, so the entire redacted string is value-checked without
+    * shipping it.
+    *
+    * Scale shape: a pure per-row map — zero joins, zero aggregates; the
+    * only Exchange is the presentation ORDER BY's range partitioning
+    * (gated in HygieneSpec). regexp_extract_all/regexp_replace are
+    * codegen'd Spark natives, so the whole operator is one
+    * WholeStageCodegen pass per partition at any corpus size.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val pii = when(m === 1,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".example.com")))
+      .when(m === 2,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit("-"),
+          lpad(pmod(col("n_chars"), lit(1000)).cast("string"), 3, "0")))
+      .when(m === 3,
+        concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("n_chars"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") + col("n_chars"), lit(256)).cast("string")))
+      .otherwise(lit(""))
+    val rich = concat(col("text"), pii)
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rich, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(rich, lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(rich, lit(PhoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(rich, lit(Ipv4Re), lit(0))).as("n_ip"),
+      length(clean).as("clean_len"),
+      md5(clean.cast("binary")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  def piiScrubSql: String = {
+    val pii =
+      s"""CASE doc_id % 4
+          WHEN 1 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'
+          WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-' || lpad(CAST(n_chars % 1000 AS VARCHAR), 3, '0')
+          WHEN 3 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(n_chars % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id + n_chars) % 256 AS VARCHAR)
+          ELSE '' END"""
+    s"""WITH rich AS (SELECT doc_id, text || $pii AS r FROM documents),
+       red AS (SELECT doc_id, r,
+                 regexp_replace(regexp_replace(regexp_replace(r,
+                   '$EmailRe', '<EMAIL>', 'g'),
+                   '$PhoneRe', '<PHONE>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g') AS clean
+               FROM rich)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(r, '$EmailRe')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(r, '$PhoneRe')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(r, '$Ipv4Re')) AS INT) AS n_ip,
+         CAST(length(clean) AS INT) AS clean_len,
+         md5(clean) AS clean_hash
+       FROM red ORDER BY doc_id"""
+  }
+
+  /** t8 — per-document token rarity under the corpus's own unigram LM
+    * (the CCNet perplexity-filter shape with the KenLM model replaced by
+    * the corpus unigram distribution): for each document, the mean corpus
+    * probability of its tokens, the rarest token's corpus count, and a
+    * mean per-token surprise in BITS. Documents whose tokens are
+    * uniformly corpus-rare are foreign/degenerate relative to the corpus
+    * — the rows a perplexity filter drops.
+    *
+    * Engine-exact arithmetic, by construction: IEEE-754 requires sqrt to
+    * be correctly rounded but NOT log, so a float log2 could differ in
+    * the last ulp between the JVM and DuckDB's libm and break a
+    * floor/quantize gate. Instead the per-token surprise is quantized to
+    * whole bits via pure integer arithmetic: bits(tok) =
+    * length(bin(tot DIV cnt)) = floor(log2(tot div cnt)) + 1 — integer
+    * division, binary-digit count, no float anywhere until the final
+    * single division of two exact integers (bit-identical in any IEEE
+    * engine, the s3 quantization discipline).
+    *
+    * Scale shape: (doc_id, token) partial counts bound the first shuffle
+    * by distinct pairs, not token occurrences; the compact `dt` aggregate
+    * (ids + tokens, no document text) is materialized ONCE via
+    * localCheckpoint — the production `persist(DISK_ONLY)` shape, and the
+    * d9 lesson: its three consumers (vocab build, corpus total, probe
+    * side) would otherwise each re-scan and re-tokenize the corpus, and
+    * ReuseExchange cannot unify them because column pruning gives each
+    * branch a differently-canonicalized aggregate. The executed plan is
+    * gated to ZERO parquet re-scans in HygieneSpec. The vocab join is
+    * vocab-sized on the build side (broadcast while |vocab| is
+    * memory-small, shuffle on the token key beyond — Heaps' law keeps
+    * |vocab| ≪ corpus); the corpus-total is a one-row broadcast (d10's
+    * nCorpus shape). Final per-doc aggregate shuffles one row per
+    * distinct (doc, token) pair.
+    */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = dt.groupBy("token").agg(sum("c").as("cnt"))
+    val tot = vocab.agg(sum("cnt").as("tot"))
+    dt.join(vocab, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"), col("cnt"), col("tot"),
+        length(bin(expr("tot DIV cnt"))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        min("cnt").as("min_cnt"),
+        sum(col("c") * col("cnt")).as("sum_cnt"),
+        sum(col("c") * col("bits")).as("sum_bits"),
+        max("tot").as("tot"))
+      .select(col("doc_id"), col("n_tokens"), col("min_cnt"),
+        (col("sum_cnt").cast("double") / (col("n_tokens") * col("tot")))
+          .as("mean_prob"),
+        (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  def raritySql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       dt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       vocab AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY 1),
+       tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab),
+       j AS (SELECT dt.doc_id, dt.c, v.cnt, tt.tot,
+               CAST(length(format('{:b}', tt.tot // v.cnt)) AS BIGINT) AS bits
+             FROM dt JOIN vocab v USING (token), tt),
+       agg AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 min(cnt) AS min_cnt,
+                 CAST(sum(c * cnt) AS BIGINT) AS sum_cnt,
+                 CAST(sum(c * bits) AS BIGINT) AS sum_bits,
+                 max(tot) AS tot
+               FROM j GROUP BY doc_id)
+       SELECT doc_id, n_tokens, min_cnt,
+         CAST(sum_cnt AS DOUBLE) / (n_tokens * tot) AS mean_prob,
+         CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits
+       FROM agg ORDER BY doc_id"""
 }
