@@ -62,6 +62,7 @@ object SparkEntry {
     "d7_lsh_neardup" -> (DedupOps.lshNearDup _),
     "d9_decontaminate" -> (DedupOps.decontaminate _),
     "d10_boilerplate" -> (DedupOps.boilerplate _),
+    "d11_semdedup" -> (DedupOps.semDedup _),
     // similarity search
     "v1_ann_topk" -> (VectorOps.annTopK _),
     "v2_lsh_buckets" -> (VectorOps.lshBuckets _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "d7_lsh_neardup" -> DedupOps.lshNearDupSql,
     "d9_decontaminate" -> DedupOps.decontaminateSql,
     "d10_boilerplate" -> DedupOps.boilerplateSql,
+    "d11_semdedup" -> DedupOps.semDedupSql,
     "v1_ann_topk" -> VectorOps.annTopKSql,
     "v2_lsh_buckets" -> VectorOps.lshBucketsSql,
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,

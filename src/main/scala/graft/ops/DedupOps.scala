@@ -712,6 +712,92 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** d11's similarity floor: a vector is DROPPED when some lower-id vector
+    * in its IVF cell has cosine ≥ this. The SemDeDup paper runs web-scale
+    * embeddings at ~0.95+; the synthetic embeddings table has no planted
+    * near-identical pairs (max within-cell cosine ≈ 0.49 at sf0.01), so the
+    * shipped floor sits where both keep branches are exercised at the
+    * oracle SFs. It is a plain constant — production tunes it per corpus.
+    */
+  val SemDedupTau = 0.4
+
+  /** d11 — semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with the v3/v5 IVF coarse quantizer, then
+    * compare vectors ONLY within their cell and drop any vector whose cell
+    * contains a more-than-[[SemDedupTau]]-similar lower-id vector — the
+    * deterministic min-id-keeper reading of the paper's
+    * one-representative-per-ε-ball rule (the c1 funnel's near-dup
+    * semantics). Complements d6/d7: those find near-IDENTICAL pairs; d11
+    * prunes semantic redundancy at much looser similarity, keyed by the
+    * cluster structure instead of LSH bands.
+    *
+    * Scale shape: the quantizer build and assignment are v5's (one
+    * labels×dims shuffle + a zero-shuffle per-row argmin); the compact
+    * assigned frame (id, vector, cell) is materialized once
+    * (localCheckpoint — both self-join sides and the keep-side read it,
+    * so the embeddings parquet is scanned once); the pair space is
+    * partitioned by cell exactly as SemDeDup prescribes (cost Σ|cell|²/2,
+    * controlled by the quantizer fan-out k — at 10⁹ vectors k scales so
+    * cells stay ~10⁴), and the self-join is SHUFFLE_HASH-hinted per the
+    * d7 lesson: sort-merge would sort the vector payloads by cell for
+    * nothing. max(cosine) per vector is order-independent, so the doubles
+    * are engine-exact (DedupSpec + oracle).
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOn(spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  private[ops] def semDedupOn(e: DataFrame): DataFrame = {
+    import VectorOps.{dot, norm}
+    val assigned = VectorOps.ivfAssigned(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val x = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("cell"))
+    val y = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("cell"))
+    val nn = x.join(y.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(col("ia") > col("ib"))
+      .select(col("ia"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+          .as("cos"))
+      .groupBy("ia").agg(max("cos").as("nn"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(nn.hint("SHUFFLE_HASH"), col("vec_id") === col("ia"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("nn"), lit(-1.0)).as("nn_lower_sim"),
+        (coalesce(col("nn"), lit(-1.0)) < SemDedupTau).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       x AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+       cd AS (SELECT label, dim,
+                CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS c
+              FROM x GROUP BY label, dim),
+       cv AS (SELECT label AS cell, list(c ORDER BY dim) AS carr FROM cd GROUP BY label),
+       dist AS (SELECT e.vec_id, e.emb, cv.cell,
+                  list_sum(list_transform(e.emb, x -> x * x))
+                  - 2.0 * list_sum(list_transform(list_zip(e.emb, cv.carr),
+                                    z -> z[1] * z[2]))
+                  + list_sum(list_transform(cv.carr, x -> x * x)) AS d2
+                FROM e CROSS JOIN cv),
+       assigned AS (SELECT vec_id, emb, cell FROM dist
+                    QUALIFY row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cell) = 1),
+       p AS (SELECT a.vec_id AS ia,
+               max(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.emb, x -> x * x))))) AS nn
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id > b.vec_id
+             GROUP BY 1)
+       SELECT a.vec_id, a.cell,
+         coalesce(p.nn, -1.0) AS nn_lower_sim,
+         coalesce(p.nn, -1.0) < $SemDedupTau AS keep
+       FROM assigned a LEFT JOIN p ON a.vec_id = p.ia
+       ORDER BY a.vec_id"""
+
   def boilerplateSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -27,7 +27,7 @@ object VectorOps {
   private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotProduct(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[ops] def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-20 vs the vec_id=0 query vector. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -280,7 +280,7 @@ object VectorOps {
     * the collected 1-row cells array. Shared by the inline v5 query and
     * the materialized index writer.
     */
-  private def ivfAssigned(e: DataFrame): DataFrame = {
+  private[ops] def ivfAssigned(e: DataFrame): DataFrame = {
     val cells1 = labelCentroids(e)
       .agg(array_sort(collect_list(struct(col("label").as("cell"), col("carr"))))
         .as("cells"))

@@ -156,4 +156,56 @@ class DedupSpec extends AnyFunSuite {
     // the planted chains make at least one non-trivial cluster
     assert(byCluster.exists(_._2.length >= 2), "no multi-doc cluster found")
   }
+
+  test("d11 semDedup equals the JVM-re-derived within-cell max-cosine over the engine's cells") {
+    // cells from the engine's own (VectorSpec-pinned) assignment; the
+    // within-cell pair scan is re-derived with DotProduct's exact
+    // left-to-right double summation
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = VectorOps.ivfAssigned(e)
+      .select("vec_id", "embedding", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))).toSeq
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byCell = assigned.groupBy(_._3)
+    val expected = assigned.map { case (id, v, cell) =>
+      val lower = byCell(cell).filter(_._1 < id)
+      val nn = if (lower.isEmpty) -1.0 else lower.map(o => cos(v, o._2)).max
+      (id, cell, nn, nn < DedupOps.SemDedupTau)
+    }.sortBy(_._1)
+    val got = DedupOps.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == expected)
+    // every cell's min-id vector is always kept
+    val minIds = byCell.values.map(_.map(_._1).min).toSet
+    assert(got.filter(r => minIds(r._1)).forall(_._4))
+  }
+
+  test("d11 drops the later twin of a planted identical pair; keeps the first") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val twin = base.clone()
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -3f else 2f)
+    val rows = Seq(
+      (0L, base, 0), (1L, twin, 0), (2L, far, 1),
+      (3L, far.map(_ * 1.1f), 1), (4L, base.map(-_), 0))
+    val byId = DedupOps.semDedupOn(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(byId(0L)._2, "the min-id twin must be kept")
+    assert(byId(1L)._1 > 0.999999 && !byId(1L)._2, "the later twin must be dropped")
+    // scaled copies of `far` are parallel → cosine 1 → later one dropped
+    assert(!byId(3L)._2 && byId(2L)._2)
+  }
+
+  test("d11 plan: cell-partitioned equi-joins, shuffle-hash pair scan, no sort-merge") {
+    val plan = DedupOps.semDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
