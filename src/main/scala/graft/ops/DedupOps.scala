@@ -746,7 +746,7 @@ object DedupOps {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     semDedupOn(spark.read.parquet(s"$dir/embeddings.parquet"))
 
-  private[ops] def semDedupOn(e: DataFrame): DataFrame = {
+  private[graft] def semDedupOn(e: DataFrame): DataFrame = {
     import VectorOps.{dot, norm}
     val assigned = VectorOps.ivfAssigned(e)
       .select(col("vec_id"), col("embedding"), col("cell"))
