@@ -763,9 +763,12 @@ object DedupOps {
       .groupBy("ia").agg(max("cos").as("nn"))
     assigned.select(col("vec_id"), col("cell"))
       .join(nn.hint("SHUFFLE_HASH"), col("vec_id") === col("ia"), "left")
+      // sentinel -2.0 for "no lower-id cellmate": outside cosine's
+      // [-1, 1], so it can never collide with a genuine anti-parallel
+      // cellmate's -1.0
       .select(col("vec_id"), col("cell"),
-        coalesce(col("nn"), lit(-1.0)).as("nn_lower_sim"),
-        (coalesce(col("nn"), lit(-1.0)) < SemDedupTau).as("keep"))
+        coalesce(col("nn"), lit(-2.0)).as("nn_lower_sim"),
+        (coalesce(col("nn"), lit(-2.0)) < SemDedupTau).as("keep"))
       .orderBy("vec_id")
   }
 
@@ -793,8 +796,8 @@ object DedupOps {
                ON a.cell = b.cell AND a.vec_id > b.vec_id
              GROUP BY 1)
        SELECT a.vec_id, a.cell,
-         coalesce(p.nn, -1.0) AS nn_lower_sim,
-         coalesce(p.nn, -1.0) < $SemDedupTau AS keep
+         coalesce(p.nn, -2.0) AS nn_lower_sim,
+         coalesce(p.nn, -2.0) < $SemDedupTau AS keep
        FROM assigned a LEFT JOIN p ON a.vec_id = p.ia
        ORDER BY a.vec_id"""
 

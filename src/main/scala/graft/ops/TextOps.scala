@@ -259,9 +259,16 @@ object TextOps {
     * quantifiers), so Java regex (Spark codegen) and RE2 (DuckDB) scan
     * identically: leftmost match, greedy quantifiers over character
     * classes have the same leftmost-first semantics in both engines.
+    *
+    * The phone pattern REQUIRES the international `+` prefix — precision
+    * over recall, deliberately: a bare 8+-digit run is indistinguishable
+    * from an id (an optional `+` made any long numeric id — including the
+    * digits of a doc_id ≥ 10⁷ inside a planted email local part — count
+    * as a phone), and RE2-safe patterns can't express the lookaround a
+    * contextual disambiguation would need.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** t7 — PII scrub (the Dolma/RedPajama hygiene step): count and redact
@@ -384,11 +391,20 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"),
         min("cnt").as("min_cnt"),
-        sum(col("c") * col("cnt")).as("sum_cnt"),
+        // c·cnt can reach n_tokens·tot ≈ 10¹⁹-10²⁰ at a 100 TB corpus
+        // (heavy-tail multi-MB docs × 10¹³ corpus tokens) — past BIGINT,
+        // an ANSI ArithmeticException in Spark and an out-of-range error
+        // in DuckDB. Widen the product+sum to exact DECIMAL (HUGEINT on
+        // the oracle side); still integer-exact, no float until the end.
+        sum(col("c").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+          .as("sum_cnt"),
         sum(col("c") * col("bits")).as("sum_bits"),
         max("tot").as("tot"))
       .select(col("doc_id"), col("n_tokens"), col("min_cnt"),
-        (col("sum_cnt").cast("double") / (col("n_tokens") * col("tot")))
+        // sequential double divisions — n_tokens·tot as one integer
+        // product would itself overflow; each step is IEEE-exact-rounded
+        // from exact integers, identically in both engines
+        (col("sum_cnt").cast("double") / col("n_tokens") / col("tot"))
           .as("mean_prob"),
         (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
       .orderBy("doc_id")
@@ -405,12 +421,12 @@ object TextOps {
        agg AS (SELECT doc_id,
                  CAST(sum(c) AS BIGINT) AS n_tokens,
                  min(cnt) AS min_cnt,
-                 CAST(sum(c * cnt) AS BIGINT) AS sum_cnt,
+                 sum(CAST(c AS HUGEINT) * cnt) AS sum_cnt,
                  CAST(sum(c * bits) AS BIGINT) AS sum_bits,
                  max(tot) AS tot
                FROM j GROUP BY doc_id)
        SELECT doc_id, n_tokens, min_cnt,
-         CAST(sum_cnt AS DOUBLE) / (n_tokens * tot) AS mean_prob,
+         CAST(sum_cnt AS DOUBLE) / n_tokens / tot AS mean_prob,
          CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits
        FROM agg ORDER BY doc_id"""
 }

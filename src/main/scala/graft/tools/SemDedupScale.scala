@@ -29,15 +29,17 @@ object SemDedupScale {
   def center(l: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(d => 3.0 * AnnScale.gauss(l * 7368787L + d * 999331L))
 
-  /** 10-id blocks share a cluster; every 10th vector twins its predecessor. */
-  def vec(i: Long, k: Int, dim: Int): (Int, Array[Float]) = {
-    val label = ((i / 10) % k).toInt
+  /** 10-id blocks share a cluster; every 10th vector twins its
+    * predecessor, and carries the PREDECESSOR's label — the twin's
+    * geometry lives in that cluster, so labeling it with its own block
+    * would pollute both label centroids with foreign-cluster members.
+    */
+  def vec(i: Long, k: Int, dim: Int): (Int, Array[Float]) =
     if (i % 10 == 0 && i > 0) {
-      val (_, p) = vecBase(i - 1, k, dim)
+      val (label, p) = vecBase(i - 1, k, dim)
       (label, Array.tabulate(dim)(d =>
         (p(d) + 0.02 * AnnScale.gauss(i * 999983L + d * 104729L)).toFloat))
     } else vecBase(i, k, dim)
-  }
 
   private def vecBase(i: Long, k: Int, dim: Int): (Int, Array[Float]) = {
     val label = ((i / 10) % k).toInt

@@ -175,7 +175,7 @@ class DedupSpec extends AnyFunSuite {
     val byCell = assigned.groupBy(_._3)
     val expected = assigned.map { case (id, v, cell) =>
       val lower = byCell(cell).filter(_._1 < id)
-      val nn = if (lower.isEmpty) -1.0 else lower.map(o => cos(v, o._2)).max
+      val nn = if (lower.isEmpty) -2.0 else lower.map(o => cos(v, o._2)).max
       (id, cell, nn, nn < DedupOps.SemDedupTau)
     }.sortBy(_._1)
     val got = DedupOps.semDedup(spark, sfDir).collect()

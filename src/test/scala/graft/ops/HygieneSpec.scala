@@ -138,7 +138,7 @@ class HygieneSpec extends AnyFunSuite {
       val sumCnt = toks.map(cnt).sum
       val sumBits = toks.map(t => java.lang.Long.toBinaryString(tot / cnt(t)).length.toLong).sum
       (id, n, toks.map(cnt).min,
-        sumCnt.toDouble / (n * tot), sumBits.toDouble / n)
+        sumCnt.toDouble / n / tot, sumBits.toDouble / n)
     }.sortBy(_._1)
     val got = TextOps.rarity(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
