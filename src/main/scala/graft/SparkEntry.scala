@@ -81,11 +81,13 @@ object SparkEntry {
     "t6_vocab" -> (TextOps.vocab _),
     "t7_pii_scrub" -> (TextOps.piiScrub _),
     "t8_rarity" -> (TextOps.rarity _),
+    "t9_bigram_merge" -> (TextOps.bigramMerge _),
     // dataset mixing / sampling
     "s1_hash_sample" -> (SamplingOps.hashSample _),
     "s2_mixture_quota" -> (SamplingOps.mixtureQuota _),
     "s3_temperature_weights" -> (SamplingOps.temperatureWeights _),
     "s4_shard_shuffle" -> (SamplingOps.shardShuffle _),
+    "s5_split_manifest" -> (SamplingOps.splitManifest _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
     "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
@@ -144,10 +146,12 @@ object SparkEntry {
     "t6_vocab" -> TextOps.vocabSql,
     "t7_pii_scrub" -> TextOps.piiScrubSql,
     "t8_rarity" -> TextOps.raritySql,
+    "t9_bigram_merge" -> TextOps.bigramMergeSql,
     "s1_hash_sample" -> SamplingOps.hashSampleSql,
     "s2_mixture_quota" -> SamplingOps.mixtureQuotaSql,
     "s3_temperature_weights" -> SamplingOps.temperatureWeightsSql,
     "s4_shard_shuffle" -> SamplingOps.shardShuffleSql,
+    "s5_split_manifest" -> SamplingOps.splitManifestSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
     "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)

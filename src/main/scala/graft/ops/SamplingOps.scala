@@ -251,6 +251,58 @@ object SamplingOps {
                 PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
        FROM sharded ORDER BY shard, pos"""
 
+  /** s5's split boundaries: train < 800‰, valid < 900‰, else test —
+    * expressed as the s1 hex6 threshold literals (equal-length
+    * lexicographic compares, no integer parsing).
+    */
+  val TrainBound: String = rateThreshold(800)
+  val ValidBound: String = rateThreshold(900)
+
+  /** s5's salted split key: a DIFFERENT salt from the s1 sample key and
+    * the s4 shard key, so split membership is independent of both.
+    */
+  private def splitKey(idCol: Column): Column =
+    substring(md5(concat(lit("split:"), idCol.cast("string"))), 1, 6)
+
+  /** s5 — deterministic train/valid/test split manifest: every document
+    * is assigned a split as a pure function of doc_id (salted md5 range —
+    * reproducible across runs, resumable, no RNG state; the s1 threshold
+    * discipline), and the query reports the accounting a training run
+    * checks before reading anything: docs and whitespace tokens per
+    * (split, lang).
+    *
+    * Scale shape: one map pass + one map-side-combinable Exchange whose
+    * shuffled rows are bounded by 3·|langs|·partitions — the aggregate is
+    * config-sized, never corpus-sized. The per-doc assignment itself is
+    * the zero-shuffle CASE any downstream reader re-evaluates inline
+    * (like s1's membership), so no assignment table need ever be stored.
+    */
+  def splitManifest(spark: SparkSession, dir: String): DataFrame = {
+    val k = splitKey(col("doc_id"))
+    val sp = when(k < lit(TrainBound), lit("train"))
+      .when(k < lit(ValidBound), lit("valid"))
+      .otherwise(lit("test"))
+    docs(spark, dir)
+      .select(sp.as("split"), col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("nt"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  def splitManifestSql: String =
+    s"""WITH a AS (SELECT
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                   < '$TrainBound' THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                   < '$ValidBound' THEN 'valid'
+              ELSE 'test' END AS split,
+         lang, len(string_split(text, ' ')) AS nt
+       FROM documents)
+       SELECT split, lang, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens
+       FROM a GROUP BY 1, 2 ORDER BY split, lang"""
+
   def temperatureWeightsSql: String =
     """WITH per AS (SELECT source, count(*) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -254,6 +254,52 @@ object TextOps {
        SELECT token, cnt, rank, CAST(cum AS DOUBLE)/tot AS cum_frac
        FROM w ORDER BY rank"""
 
+  /** t9's output size: the top-K adjacent-pair table. */
+  val BigramTopK = 100
+
+  /** t9 — corpus bigram (adjacent token pair) frequency table: the
+    * statistic ONE round of BPE/WordPiece merge training is computed
+    * from — the top pair is the first merge. Iterating merges is a
+    * driver-side loop re-running this query over re-tokenized text; at
+    * corpus scale each round is exactly this shape, which is why
+    * tokenizer training is feasible on the full corpus at all.
+    *
+    * Scale shape: the pair explode doubles nothing (n−1 pairs per n-token
+    * doc); the count aggregate is map-side combinable, so the one
+    * Exchange shuffles ≤ distinct-bigrams·partitions rows; the top-K is
+    * TakeOrdered (no global sort of the bigram table); the rank window
+    * runs on the K-row result. Ties break lexicographically so the table
+    * is deterministic.
+    */
+  def bigramMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("t")
+    val top = docs(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("bigram"))
+      .limit(BigramTopK)
+    top.select(col("bigram"), col("cnt"),
+      row_number().over(Window.orderBy(desc("cnt"), col("bigram"))).as("rank"))
+      .orderBy("rank")
+  }
+
+  def bigramMergeSql: String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       bg AS (SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram FROM tk),
+       c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+       top AS (SELECT bigram, cnt FROM c
+               ORDER BY cnt DESC, bigram LIMIT $BigramTopK)
+       SELECT bigram, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS INT) AS rank
+       FROM top ORDER BY rank"""
+
   /** PII redaction patterns — shared verbatim with the DuckDB oracle.
     * Deliberately RE2-safe (no lookaround, no backreferences, no possessive
     * quantifiers), so Java regex (Spark codegen) and RE2 (DuckDB) scan

@@ -156,4 +156,59 @@ class CorpusStatsSpec extends AnyFunSuite {
     val scan = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
     assert(!scan.contains("text"), scan)
   }
+
+  test("t9 bigram table equals the JVM-re-derived adjacent-pair counts") {
+    val rows = docRows()
+    val cnt = rows.flatMap(_._2.split(" ", -1).sliding(2).filter(_.size == 2))
+      .map(_.mkString(" ")).groupBy(identity)
+      .map { case (b, v) => (b, v.size.toLong) }.toSeq
+    val expected = cnt.sortBy { case (b, c) => (-c, b) }
+      .take(TextOps.BigramTopK).zipWithIndex
+      .map { case ((b, c), i) => (b, c, i + 1) }
+    val got = TextOps.bigramMerge(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // the table is full at this corpus size and the top pair dominates
+    assert(got.size == TextOps.BigramTopK && got.head._2 >= got.last._2)
+  }
+
+  test("t9 plan: map-side-combined aggregate + TakeOrdered, no global sort of the bigram table") {
+    val plan = TextOps.bigramMerge(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("s5 split manifest equals the JVM-re-derived salted-md5 assignment") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def splitOf(id: Long): String = {
+      val k = md5Hex(s"split:$id").substring(0, 6)
+      if (k < SamplingOps.TrainBound) "train"
+      else if (k < SamplingOps.ValidBound) "valid" else "test"
+    }
+    val expected = rows.groupBy(r => (splitOf(r._1), r._3)).toSeq
+      .map { case ((sp, lang), v) =>
+        (sp, lang, v.size.toLong, v.map(_._2.split(" ", -1).length.toLong).sum)
+      }.sortBy(r => (r._1, r._2))
+    val got = SamplingOps.splitManifest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // all three splits are populated and the ratios are ~80/10/10
+    val byS = got.groupBy(_._1).map { case (s, v) => (s, v.map(_._3).sum) }
+    assert(byS.keySet == Set("train", "valid", "test"))
+    val n = byS.values.sum.toDouble
+    assert(byS("train") / n > 0.7 && byS("valid") / n < 0.2 && byS("test") / n < 0.2)
+  }
+
+  test("s5 plan: one aggregate, no joins, no corpus-scale window") {
+    val plan = SamplingOps.splitManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
