@@ -277,28 +277,31 @@ object SamplingOps {
     * the zero-shuffle CASE any downstream reader re-evaluates inline
     * (like s1's membership), so no assignment table need ever be stored.
     */
-  def splitManifest(spark: SparkSession, dir: String): DataFrame = {
-    val k = splitKey(col("doc_id"))
-    val sp = when(k < lit(TrainBound), lit("train"))
-      .when(k < lit(ValidBound), lit("valid"))
-      .otherwise(lit("test"))
+  def splitManifest(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(sp.as("split"), col("lang"),
+      // key computed once per row (the s4 'keyed' shape), not once per
+      // CASE branch
+      .select(splitKey(col("doc_id")).as("k"), col("lang"),
         size(split(col("text"), " ", -1)).cast("long").as("nt"))
+      .select(when(col("k") < lit(TrainBound), lit("train"))
+        .when(col("k") < lit(ValidBound), lit("valid"))
+        .otherwise(lit("test")).as("split"),
+        col("lang"), col("nt"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
       .orderBy("split", "lang")
-  }
 
   def splitManifestSql: String =
-    s"""WITH a AS (SELECT
-         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
-                   < '$TrainBound' THEN 'train'
-              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
-                   < '$ValidBound' THEN 'valid'
-              ELSE 'test' END AS split,
+    s"""WITH keyed AS (SELECT
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) AS k,
          lang, len(string_split(text, ' ')) AS nt
-       FROM documents)
+       FROM documents),
+       a AS (SELECT
+         CASE WHEN k < '$TrainBound' THEN 'train'
+              WHEN k < '$ValidBound' THEN 'valid'
+              ELSE 'test' END AS split,
+         lang, nt
+       FROM keyed)
        SELECT split, lang, count(*) AS n_docs,
               CAST(sum(nt) AS BIGINT) AS n_tokens
        FROM a GROUP BY 1, 2 ORDER BY split, lang"""

@@ -3,12 +3,14 @@ package graft.ops
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 
-/** d10 (boilerplate detection), t6 (vocabulary table) and s3 (temperature
-  * mixture weights) gates: values re-derived in plain JVM code over the
-  * real test table, plus the plan shapes that make each scale — d10's hot
-  * set broadcast (never sort-merge-joined against the corpus), t6's single
-  * corpus-size aggregate before the vocab-size window, s3's broadcast
-  * one-row totals.
+/** Corpus-statistics operator gates — d10 (boilerplate detection), t6
+  * (vocabulary table), t9 (bigram merge table), s3 (temperature mixture
+  * weights), s4 (deterministic shuffle-shard) and s5 (train/valid/test
+  * split manifest): values re-derived in plain JVM code over the real
+  * test table, plus the plan shapes that make each scale — d10's hot set
+  * broadcast (never sort-merge-joined against the corpus), t6/t9's single
+  * corpus-size aggregate before any window/top-K, s3's broadcast one-row
+  * totals, s4's pruned-scan no-join shuffle, s5's config-sized aggregate.
   */
 class CorpusStatsSpec extends AnyFunSuite {
 
