@@ -432,8 +432,11 @@ object TextOps {
     val tot = vocab.agg(sum("cnt").as("tot"))
     dt.join(vocab, "token")
       .crossJoin(broadcast(tot))
+      // native bit count — length(bin(x)) semantics without allocating a
+      // binary string per (doc, token) pair (IntBitsSpec pins equality)
       .select(col("doc_id"), col("c"), col("cnt"), col("tot"),
-        length(bin(expr("tot DIV cnt"))).cast("long").as("bits"))
+        graft.functions.IntBits.bitLength(expr("tot DIV cnt"))
+          .cast("long").as("bits"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"),
         min("cnt").as("min_cnt"),
