@@ -69,6 +69,7 @@ object SparkEntry {
     "v4_lsh_ann_topk" -> (VectorOps.lshAnnTopK _),
     "v3_cluster_stats" -> (VectorOps.clusterStats _),
     "v5_ivf_topk" -> (VectorOps.ivfTopK _),
+    "v6_kmeans" -> (VectorOps.kmeansRefine _),
     // text analysis
     "t1_langid" -> (TextOps.langId _),
     "c1_curation_funnel" -> (CurationOps.curationFunnel _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "v3_cluster_stats" -> VectorOps.clusterStatsSql,
     "v4_lsh_ann_topk" -> VectorOps.lshAnnTopKSql,
     "v5_ivf_topk" -> VectorOps.ivfTopKSql,
+    "v6_kmeans" -> VectorOps.kmeansRefineSql,
     "t1_langid" -> TextOps.langIdSql,
     "c1_curation_funnel" -> CurationOps.curationFunnelSql,
     "c2_curated_docs" -> CurationOps.curatedDocsSql,

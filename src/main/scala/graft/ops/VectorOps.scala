@@ -365,6 +365,159 @@ object VectorOps {
     * and therefore the result — are bit-identical to the inline
     * [[ivfTopK]] (VectorSpec pins the equality).
     */
+  /** k-means seed count (= the corpus's label fan-out, so v6's learned
+    * cells are comparable to v3/v5's label-seeded quantizer) and Lloyd
+    * round count for [[kmeansRefine]].
+    */
+  val KmeansK = 10
+  val KmeansIters = 2
+
+  /** One k-means assignment pass: every vector labeled with its nearest
+    * centroid (argmin of the |a−c|² = a·a − 2·a·c + c·c expansion, ties
+    * broken by cell id — the v5 convention) and that centroid's d2. The
+    * centroid table collapses to ONE collected-array row broadcast to
+    * every vector, so assignment is a per-row `array_sort(transform(...))`
+    * argmin with zero shuffle — k is index fan-out, never data-sized.
+    */
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cells1 = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("carr")))).as("cells"))
+    def d2(c: Column): Column =
+      dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), c.getField("carr")) +
+        dot(c.getField("carr"), c.getField("carr"))
+    val ranked = array_sort(transform(col("cells"),
+      c => struct(d2(c).as("d2"), c.getField("cell").as("cell"))))
+    e.crossJoin(broadcast(cells1))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        element_at(ranked, 1).as("best"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best").getField("cell").as("cell"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** Per-cell DECIMAL-exact mean vectors of an assignment — the
+    * [[labelCentroids]] arithmetic keyed by the learned cell instead of
+    * the data label. A cell that lost all members simply produces no row
+    * (the standard "empty clusters vanish" Lloyd behavior), identically
+    * in the DuckDB oracle's GROUP BY.
+    */
+  private def kmeansMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("carr"))
+
+  /** v6 — k-means Lloyd refinement: the clustering step a production
+    * SemDeDup / IVF pipeline actually RUNS before d11/v5 can assume a
+    * quantizer (Abbas et al. 2023 cluster with k-means; v3/v5 seed from
+    * the ground-truth `label` column, which real corpora don't have).
+    *
+    * Deterministic end to end, with every non-associative step removed:
+    *  - **Seeding**: the [[KmeansK]] vectors with the smallest `vec_id`
+    *    (first-k seeding — no RNG state, reproducible and resumable; cell
+    *    id = seed vec_id).
+    *  - **[[KmeansIters]] Lloyd rounds**: assignment is the per-row
+    *    broadcast argmin of [[kmeansAssign]] (zero shuffle; double
+    *    arithmetic identical term-for-term in both engines, ties by cell);
+    *    recomputation is the DECIMAL-exact per-(cell,dim) mean of
+    *    [[kmeansMeans]] — a raw double mean would make the learned
+    *    centroids depend on partition summation order and diverge the
+    *    whole downstream assignment cascade.
+    *  - **Output**: a final assignment against the learned centroids,
+    *    reported per cell as (n_vecs, majority data-label + its fraction —
+    *    the purity diagnostic, ties to the smaller label — and the
+    *    DECIMAL-exact mean distance, the v3 convention).
+    *
+    * Scale shape: the corpus is read ONCE (`localCheckpoint`, the d9/t8
+    * materialization lesson — production persists to disk); each round
+    * costs one pass over the checkpoint plus one map-side-combinable
+    * (cell,dim) Exchange bounded by k×dim, and the final stats shuffle one
+    * row per (cell,label) pair. Centroid tables between rounds are k×dim
+    * values — eagerly checkpointed so the plan stays flat instead of
+    * re-deriving round r−1 inside round r. The DuckDB oracle chains the
+    * identical rounds as CTEs, so the result is hash-exact.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    kmeansRefineOn(emb(spark, dir).localCheckpoint())
+  }
+
+  private[graft] def kmeansRefineOn(e: DataFrame): DataFrame = {
+    var cents = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("carr"))
+      .localCheckpoint()
+    for (_ <- 1 to KmeansIters)
+      cents = kmeansMeans(kmeansAssign(e, cents)).localCheckpoint()
+    val fin = kmeansAssign(e, cents)
+    // one pass over the final assignment: (cell,label) partials carry both
+    // the purity counts and the exact DECIMAL distance sums, then re-agg
+    // to cell level (DECIMAL re-summation is associative-exact)
+    // k×|labels| rows, materialized once: its TWO consumers (cell stats,
+    // purity window) would otherwise each re-run the final assignment
+    val cl = fin.groupBy("cell", "label")
+      .agg(count(lit(1)).as("ln"),
+        sum(sqrt(greatest(col("d2"), lit(0.0))).cast("decimal(38,15)")).as("sd"))
+      .localCheckpoint()
+    val ag = cl.groupBy("cell")
+      .agg(sum(col("ln")).as("n_vecs"),
+        round(sum(col("sd")).cast("double") / sum(col("ln")), 9).as("mean_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("ln").desc, col("label"))
+    val top = cl.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("ln"))
+    ag.join(top, "cell")
+      .select(col("cell"), col("n_vecs"), col("top_label"),
+        (col("ln").cast("double") / col("n_vecs")).as("top_frac"),
+        col("mean_dist"))
+      .orderBy("cell")
+  }
+
+  def kmeansRefineSql: String = {
+    def assign(i: Int, cv: String) =
+      s"""a$i AS (
+         SELECT e.vec_id, e.label, e.emb, cv.cell,
+           list_sum(list_transform(e.emb, x -> x * x))
+           - 2.0 * list_sum(list_transform(list_zip(e.emb, cv.carr),
+                             z -> z[1] * z[2]))
+           + list_sum(list_transform(cv.carr, x -> x * x)) AS d2
+         FROM e CROSS JOIN $cv cv
+         QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY d2, cv.cell) = 1)"""
+    def means(i: Int) =
+      s"""cd$i AS (SELECT cell, unnest(emb) AS v,
+                    generate_subscripts(emb, 1) AS dim FROM a$i),
+         cm$i AS (SELECT cell, dim,
+                    CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS c
+                  FROM cd$i GROUP BY cell, dim),
+         cv$i AS (SELECT cell, list(c ORDER BY dim) AS carr FROM cm$i GROUP BY cell)"""
+    val rounds = (1 to KmeansIters).map(i =>
+      assign(i, if (i == 1) "cv0" else s"cv${i - 1}") + ",\n" + means(i))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       cv0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS carr FROM e
+               WHERE vec_id < $KmeansK),
+       $rounds,
+       ${assign(KmeansIters + 1, s"cv$KmeansIters")},
+       cl AS (SELECT cell, label, count(*) AS ln,
+                sum(CAST(sqrt(greatest(d2, 0.0)) AS DECIMAL(38,15))) AS sd
+              FROM a${KmeansIters + 1} GROUP BY cell, label),
+       ag AS (SELECT cell, CAST(sum(ln) AS BIGINT) AS n_vecs,
+                round(CAST(sum(sd) AS DOUBLE) / sum(ln), 9) AS mean_dist
+              FROM cl GROUP BY cell),
+       tp AS (SELECT cell, label AS top_label, ln,
+                row_number() OVER (PARTITION BY cell
+                                   ORDER BY ln DESC, label) AS rn
+              FROM cl)
+       SELECT ag.cell, ag.n_vecs, tp.top_label,
+         CAST(tp.ln AS DOUBLE) / ag.n_vecs AS top_frac, ag.mean_dist
+       FROM ag JOIN tp ON ag.cell = tp.cell AND tp.rn = 1
+       ORDER BY ag.cell"""
+  }
+
   def ivfProbeIndex(spark: SparkSession, path: String,
       query: Array[Float], k: Int): DataFrame = {
     val qd = query.map(_.toDouble)

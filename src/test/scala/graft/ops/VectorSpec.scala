@@ -143,6 +143,88 @@ class VectorSpec extends AnyFunSuite {
       s"scan read ${scan.selectedPartitions.partitionCount} partitions, not nprobe")
   }
 
+  test("v6 kmeansRefine recovers planted well-separated clusters at purity 1.0") {
+    import spark.implicits._
+    // 5 tight clusters × 40 points; the first 10 vec_ids give TWO seeds per
+    // cluster (a non-trivial seeding: Lloyd must merge/starve duplicates,
+    // not just relabel). With separation ≫ noise, after one round every
+    // centroid lies inside a single cluster, so no final cell may mix two
+    // ground-truth clusters — purity is exactly 1.0 in every cell.
+    val rnd = new scala.util.Random(11)
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == c % 16) 10f * (c + 1) else 0f)
+    val rows = (0L until 200L).map { i =>
+      val c = if (i < 10) (i % 5).toInt else (i % 5).toInt
+      (i, center(c).map(x => x + (rnd.nextGaussian() * 0.01).toFloat), c)
+    }
+    val out = VectorOps.kmeansRefineOn(
+        rows.toDF("vec_id", "embedding", "label").localCheckpoint())
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == 200L, "every vector assigned exactly once")
+    assert(out.forall(_._4 == 1.0),
+      s"a learned cell mixed two planted clusters: ${out.toSeq}")
+    // all five planted clusters survive as (at least one) learned cell
+    assert(out.map(_._3).distinct.sorted.toSeq == (0 until 5).toSeq)
+  }
+
+  test("v6 kmeansRefine == plain-JVM Lloyd re-derivation on the corpus") {
+    val eng = VectorOps.kmeansRefine(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    val data = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def assign(cents: Seq[(Int, Array[Double])]) = data.map { case (id, v, lab) =>
+      val best = cents.map { case (cell, c) =>
+        (dot(v, v) - 2.0 * dot(v, c) + dot(c, c), cell)
+      }.minBy(identity)
+      (id, v, lab, best._2, best._1)
+    }
+    // DECIMAL(38,15)-exact mean: per-value HALF_UP quantization to 15 dp
+    // (Spark's Decimal double path goes through BigDecimal.valueOf), exact
+    // sum, one double division — the engine's arithmetic step for step
+    def d15(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(15, java.math.RoundingMode.HALF_UP)
+    def means(asg: Array[(Long, Array[Double], Int, Int, Double)]) =
+      asg.groupBy(_._4).toSeq.sortBy(_._1).map { case (cell, vs) =>
+        cell -> Array.tabulate(vs.head._2.length) { d =>
+          vs.map(t => d15(t._2(d))).reduce(_.add(_)).doubleValue / vs.length
+        }
+      }
+    var cents: Seq[(Int, Array[Double])] =
+      data.filter(_._1 < VectorOps.KmeansK).map(t => (t._1.toInt, t._2)).toSeq
+    for (_ <- 1 to VectorOps.KmeansIters) cents = means(assign(cents))
+    val fin = assign(cents)
+    val ref = fin.groupBy(_._4).toSeq.sortBy(_._1).map { case (cell, vs) =>
+      val (topLab, topN) = vs.groupBy(_._3).toSeq
+        .map { case (l, g) => (l, g.length) }.maxBy(t => (t._2, -t._1))
+      val meanDist = vs.map(t => d15(math.sqrt(math.max(t._5, 0.0))))
+        .reduce(_.add(_)).doubleValue / vs.length
+      (cell, vs.length.toLong, topLab, topN.toDouble / vs.length,
+        BigDecimal(meanDist).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(eng.length == ref.length)
+    eng.zip(ref).foreach { case (e, r) =>
+      assert(e._1 == r._1 && e._2 == r._2 && e._3 == r._3, s"$e vs $r")
+      assert(e._4 == r._4, s"top_frac: $e vs $r")
+      assert(math.abs(e._5 - r._5) < 1e-9, s"mean_dist: $e vs $r")
+    }
+  }
+
+  test("v6 plan: checkpointed spine (no parquet re-scan), no SMJ, one 1-row attach") {
+    val plan = VectorOps.kmeansRefine(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"an iteration re-scanned the corpus instead of the checkpoint:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the final 1-row centroid attach may nest:\n$plan")
+  }
+
   test("v5 plan: only 1-row broadcast attaches may nest (cells ×2 branches, query)") {
     val plan = VectorOps.ivfTopK(spark, sfDir)
       .queryExecution.executedPlan.toString
