@@ -89,6 +89,7 @@ object SparkEntry {
     "s3_temperature_weights" -> (SamplingOps.temperatureWeights _),
     "s4_shard_shuffle" -> (SamplingOps.shardShuffle _),
     "s5_split_manifest" -> (SamplingOps.splitManifest _),
+    "s6_dsir_weights" -> (SamplingOps.dsirWeights _),
     // multimodal
     "m1_media_features" -> (MultimodalOps.mediaFeatures _),
     "m2_media_decode" -> (MultimodalOps.mediaPpmDecode _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "s3_temperature_weights" -> SamplingOps.temperatureWeightsSql,
     "s4_shard_shuffle" -> SamplingOps.shardShuffleSql,
     "s5_split_manifest" -> SamplingOps.splitManifestSql,
+    "s6_dsir_weights" -> SamplingOps.dsirWeightsSql,
     "m1_media_features" -> MultimodalOps.mediaFeaturesSql,
     "m2_media_decode" -> MultimodalOps.mediaPpmDecodeSql,
     "m3_frame_sample" -> MultimodalOps.frameSampleStatsSql)

@@ -306,6 +306,106 @@ object SamplingOps {
               CAST(sum(nt) AS BIGINT) AS n_tokens
        FROM a GROUP BY 1, 2 ORDER BY split, lang"""
 
+  /** s6's target domain: the language whose distribution the corpus is
+    * re-weighted toward. A production DSIR run points this at a small
+    * curated target set (Wikipedia, books); the corpus's `lang` stratum is
+    * the deterministic stand-in with the same dataflow.
+    */
+  val DsirTargetLang = "en"
+
+  /** s6 — DSIR importance weights (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely it is under the TARGET
+    * domain's unigram LM than under the full-corpus (source) LM —
+    * `log p_target(doc) − log p_source(doc)` — and keep the
+    * positive-weight docs. This is the data-selection step between the
+    * hygiene filters (t-family) and the mixers (s1-s5): it picks
+    * target-LIKE documents out of a web crawl rather than sampling
+    * uniformly.
+    *
+    * Engine-exact arithmetic (the t8 discipline — IEEE-754 requires sqrt
+    * correctly rounded but NOT log, so a float log2 could flip a
+    * comparison between engines): each token's per-LM surprise is
+    * quantized to whole bits via pure integer arithmetic,
+    * `bits_x(tok) = bitlen((tot_x + |V|) DIV (cnt_x(tok) + 1))` — add-one
+    * (Laplace) smoothing over the corpus vocabulary |V| so target-absent
+    * tokens are finite, integer division, binary digit count (the native
+    * codegen'd [[graft.functions.IntBits]]). A document's importance is
+    * `imp_bits = Σ c(tok)·(bits_source − bits_target)`: positive means
+    * the doc is LESS surprising under the target LM — target-like. No
+    * float exists until the final division of two exact integers.
+    * Unlike t8's `c·cnt` (which crosses 2^63 at corpus scale), the
+    * summand here is `c·Δbits` with |Δbits| ≤ 64, so per-doc sums stay
+    * integer-exact in BIGINT at any document length.
+    *
+    * Scale shape: the compact (doc, token, c) aggregate is materialized
+    * ONCE (localCheckpoint — its three consumers would otherwise each
+    * re-scan and re-tokenize the corpus; the d9/t8 lesson) and the first
+    * Exchange is bounded by distinct pairs, not occurrences. Both LM
+    * tables are vocab-sized (Heaps' law keeps |V| ≪ corpus; broadcast
+    * while memory-small, shuffle on the token key beyond); the two totals
+    * are a 1-row broadcast. The final per-doc aggregate shuffles one row
+    * per distinct (doc, token) pair. Requires a non-empty target stratum
+    * (an empty one nulls every weight, identically in both engines).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("lang") === DsirTargetLang).as("is_t"),
+        explode(split(col("text"), " ")).as("token"))
+    val dt = d.groupBy("doc_id", "lang", "is_t", "token")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vs = dt.groupBy("token").agg(sum("c").as("cnt_s"))
+    val vt = dt.filter(col("is_t")).groupBy("token").agg(sum("c").as("cnt_t"))
+    val totals = vs.agg(sum("cnt_s").as("tot_s"), count(lit(1)).as("vsize"))
+      .crossJoin(vt.agg(sum("cnt_t").as("tot_t")))
+    // integer division via DIV (the t8 convention) — `/` on BIGINTs is
+    // DOUBLE division in Spark and loses exactness past 2^53
+    val bitsS = graft.functions.IntBits.bitLength(
+      expr("(tot_s + vsize) DIV (cnt_s + 1)")).cast("long")
+    val bitsT = graft.functions.IntBits.bitLength(
+      expr("(tot_t + vsize) DIV (coalesce(cnt_t, 0) + 1)")).cast("long")
+    dt.join(vs, "token")
+      .join(vt, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("c"),
+        (bitsS - bitsT).as("dbits"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("dbits")).as("imp_bits"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("imp_bits"),
+        (col("imp_bits").cast("double") / col("n_tokens")).as("imp_per_tok"),
+        (col("imp_bits") > 0).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, lang = '$DsirTargetLang' AS is_t,
+              unnest(string_split(text, ' ')) AS token FROM documents),
+       dt AS (SELECT doc_id, lang, is_t, token, count(*) AS c
+              FROM d GROUP BY 1, 2, 3, 4),
+       vs AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt_s FROM dt GROUP BY 1),
+       vt AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt_t
+              FROM dt WHERE is_t GROUP BY 1),
+       ts AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS tot_s,
+                CAST(count(*) AS BIGINT) AS vsize FROM vs),
+       tt AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM vt),
+       j AS (SELECT dt.doc_id, dt.lang, dt.c,
+               CAST(length(format('{:b}',
+                 (ts.tot_s + ts.vsize) // (vs.cnt_s + 1))) AS BIGINT)
+               - CAST(length(format('{:b}',
+                 (tt.tot_t + ts.vsize) // (coalesce(vt.cnt_t, 0) + 1)))
+                 AS BIGINT) AS dbits
+             FROM dt JOIN vs USING (token) LEFT JOIN vt USING (token), ts, tt),
+       agg AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(c * dbits) AS BIGINT) AS imp_bits
+               FROM j GROUP BY 1, 2)
+       SELECT doc_id, lang, n_tokens, imp_bits,
+         CAST(imp_bits AS DOUBLE) / n_tokens AS imp_per_tok,
+         CAST(imp_bits > 0 AS INT) AS selected
+       FROM agg ORDER BY doc_id"""
+
   def temperatureWeightsSql: String =
     """WITH per AS (SELECT source, count(*) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -102,6 +102,47 @@ class SamplingSpec extends AnyFunSuite {
       "mixer must thin the curated set without emptying it at sf0.01")
   }
 
+  test("s6 DSIR weights equal the JVM-recomputed integer-bit arithmetic, row for row") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc, token) counts with Spark/DuckDB split semantics (keep empties)
+    val dt = rows.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).groupBy(identity).map { case (t, a) => (t, a.length.toLong) })
+    }
+    val cntS = new scala.collection.mutable.HashMap[String, Long]()
+    val cntT = new scala.collection.mutable.HashMap[String, Long]()
+    dt.foreach { case (_, lang, m) =>
+      m.foreach { case (t, c) =>
+        cntS(t) = cntS.getOrElse(t, 0L) + c
+        if (lang == SamplingOps.DsirTargetLang) cntT(t) = cntT.getOrElse(t, 0L) + c
+      }
+    }
+    val totS = cntS.values.sum; val totT = cntT.values.sum
+    val vsize = cntS.size.toLong
+    def bitlen(x: Long): Long = if (x == 0L) 1L else (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val expected = dt.map { case (id, lang, m) =>
+      val nTok = m.values.sum
+      val imp = m.map { case (t, c) =>
+        val bS = bitlen((totS + vsize) / (cntS(t) + 1))
+        val bT = bitlen((totT + vsize) / (cntT.getOrElse(t, 0L) + 1))
+        c * (bS - bT)
+      }.sum
+      (id, lang, nTok, imp, imp.toDouble / nTok, if (imp > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = SamplingOps.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    assert(got == expected)
+    // direction: the target stratum must score higher than the rest on
+    // average — DSIR exists to pull target-like docs out of the crawl
+    val (t, o) = got.partition(_._2 == SamplingOps.DsirTargetLang)
+    assert(t.nonEmpty && o.nonEmpty)
+    assert(t.map(_._5).sum / t.size > o.map(_._5).sum / o.size,
+      "target-lang docs must have higher mean importance per token")
+  }
+
   test("s1 plan: map-only scan, zero Exchange before the presentation sort, text never read") {
     val plan = SamplingOps.hashSample(spark, sfDir)
       .queryExecution.executedPlan.toString
