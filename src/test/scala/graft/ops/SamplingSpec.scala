@@ -143,6 +143,22 @@ class SamplingSpec extends AnyFunSuite {
       "target-lang docs must have higher mean importance per token")
   }
 
+  test("s6 plan: the corpus is scanned once — all three LM consumers read the materialized spine") {
+    val df = SamplingOps.dsirWeights(spark, sfDir)
+    df.collect()
+    // the one corpus scan happens inside the (doc, token, c) spine's
+    // localCheckpoint; the executed plan must contain ZERO parquet
+    // re-scans (the t8/d9 lesson — ReuseExchange can't unify consumers
+    // whose column pruning changes the canonical form)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 0, plan)
+    // the 1-row totals frame joins as a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("s1 plan: map-only scan, zero Exchange before the presentation sort, text never read") {
     val plan = SamplingOps.hashSample(spark, sfDir)
       .queryExecution.executedPlan.toString
