@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * Semantics are EXACTLY `length(bin(x))` for every long (unit-pinned
   * against Spark's own `bin` in IntBitsSpec): 1 for 0, floor(log2(x))+1
   * for x > 0, and 64 for negatives (bin's two's-complement string).
-  * The DuckDB oracle keeps the equivalent `length(format('{:b}', x))`.
+  * The DuckDB oracle keeps `length(format('{:b}', x))` — equivalent ONLY
+  * for x >= 0: DuckDB formats negatives sign-and-magnitude ('-1' → 2, not
+  * 64), so an oracled consumer must guarantee a non-negative input the way
+  * t8/s6 do (their arguments are quotients >= 1 by construction). Guard or
+  * re-derive the oracle before feeding this a value that can go negative.
   */
 case class BitLength64(child: Expression) extends UnaryExpression {
 

@@ -189,14 +189,22 @@ object VectorOps {
     * the per-dimension means are deterministic under any partitioning; one
     * shuffle of labels×dims rows, output k×dim values (broadcastable).
     */
-  private[graft] def labelCentroids(e: DataFrame): DataFrame = {
-    val byDim = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-    val centroids = byDim.groupBy("label", "dim")
+  private[graft] def labelCentroids(e: DataFrame): DataFrame =
+    meanVectors(e, "label")
+
+  /** The one DECIMAL-exact per-key mean-vector pipeline behind BOTH
+    * centroid computations ([[labelCentroids]] keyed by the data label,
+    * [[kmeansMeans]] keyed by the learned cell) — the quantization, the
+    * double divide and the dim-sorted reassembly live here ONCE so the
+    * v3/v5 and v6 engine-exactness contracts cannot drift apart.
+    */
+  private def meanVectors(df: DataFrame, key: String): DataFrame =
+    df.select(col(key), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(key, "dim")
       .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("c"))
-    centroids.groupBy("label")
+      .groupBy(key)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c")).as("carr"))
-  }
 
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -280,10 +288,15 @@ object VectorOps {
     * the collected 1-row cells array. Shared by the inline v5 query and
     * the materialized index writer.
     */
-  private[ops] def ivfAssigned(e: DataFrame): DataFrame = {
-    val cells1 = labelCentroids(e)
-      .agg(array_sort(collect_list(struct(col("label").as("cell"), col("carr"))))
-        .as("cells"))
+  /** Every vector with its full (d2, cell)-ranked centroid list: the one
+    * broadcast-argmin primitive behind BOTH quantizer assignments (v5's
+    * [[ivfAssigned]], v6's [[kmeansAssign]]) — the distance expansion, the
+    * tie-break and the collected-array broadcast live here ONCE so the two
+    * paths cannot desynchronize. `cents` must carry (cell, carr).
+    */
+  private def rankedAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cells1 = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("carr")))).as("cells"))
     def d2(c: Column): Column =
       dot(col("embedding"), col("embedding")) -
         lit(2.0) * dot(col("embedding"), c.getField("carr")) +
@@ -292,9 +305,12 @@ object VectorOps {
       c => struct(d2(c).as("d2"), c.getField("cell").as("cell"))))
     e.crossJoin(broadcast(cells1))
       .select(col("vec_id"), col("label"), col("embedding"), ranked.as("ranked"))
+  }
+
+  private[ops] def ivfAssigned(e: DataFrame): DataFrame =
+    rankedAssign(e, labelCentroids(e).withColumnRenamed("label", "cell"))
       .select(col("vec_id"), col("label"), col("embedding"),
         element_at(col("ranked"), 1).getField("cell").as("cell"), col("ranked"))
-  }
 
   private[graft] def ivfTopKOn(e: DataFrame): DataFrame = {
     val assigned = ivfAssigned(e)
@@ -379,22 +395,11 @@ object VectorOps {
     * every vector, so assignment is a per-row `array_sort(transform(...))`
     * argmin with zero shuffle — k is index fan-out, never data-sized.
     */
-  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val cells1 = cents.agg(
-      array_sort(collect_list(struct(col("cell"), col("carr")))).as("cells"))
-    def d2(c: Column): Column =
-      dot(col("embedding"), col("embedding")) -
-        lit(2.0) * dot(col("embedding"), c.getField("carr")) +
-        dot(c.getField("carr"), c.getField("carr"))
-    val ranked = array_sort(transform(col("cells"),
-      c => struct(d2(c).as("d2"), c.getField("cell").as("cell"))))
-    e.crossJoin(broadcast(cells1))
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    rankedAssign(e, cents)
       .select(col("vec_id"), col("label"), col("embedding"),
-        element_at(ranked, 1).as("best"))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        col("best").getField("cell").as("cell"),
-        col("best").getField("d2").as("d2"))
-  }
+        element_at(col("ranked"), 1).getField("cell").as("cell"),
+        element_at(col("ranked"), 1).getField("d2").as("d2"))
 
   /** Per-cell DECIMAL-exact mean vectors of an assignment — the
     * [[labelCentroids]] arithmetic keyed by the learned cell instead of
@@ -403,12 +408,7 @@ object VectorOps {
     * in the DuckDB oracle's GROUP BY.
     */
   private def kmeansMeans(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("c"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("carr"))
+    meanVectors(assigned, "cell")
 
   /** v6 — k-means Lloyd refinement: the clustering step a production
     * SemDeDup / IVF pipeline actually RUNS before d11/v5 can assume a

@@ -154,7 +154,7 @@ class VectorSpec extends AnyFunSuite {
     def center(c: Int): Array[Float] =
       Array.tabulate(16)(d => if (d == c % 16) 10f * (c + 1) else 0f)
     val rows = (0L until 200L).map { i =>
-      val c = if (i < 10) (i % 5).toInt else (i % 5).toInt
+      val c = (i % 5).toInt // ids 0-9 hit each cluster twice -> two seeds each
       (i, center(c).map(x => x + (rnd.nextGaussian() * 0.01).toFloat), c)
     }
     val out = VectorOps.kmeansRefineOn(

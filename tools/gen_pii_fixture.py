@@ -5,7 +5,10 @@
 # regex (the Spark engine's semantics) and asserts equality, pinning
 # the claim in TextOps that the patterns scan identically in both
 # engines on inputs far nastier than the enrichment ever produces.
-import duckdb, hashlib, random
+import duckdb, hashlib, os, random
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                   "src", "test", "resources", "goldens", "pii_cases.tsv")
 
 EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE = r"\+[0-9][0-9-]{6,}[0-9]"
@@ -52,7 +55,7 @@ for s in cases:
     ne, np_, ni, clean = r
     out.append((s, ne, np_, ni, hashlib.md5(clean.encode()).hexdigest()))
 
-with open("/root/repo/src/test/resources/goldens/pii_cases.tsv", "w") as f:
+with open(OUT, "w", encoding="utf-8") as f:
     for s, ne, np_, ni, h in out:
         assert "\t" not in s and "\n" not in s
         f.write(f"{s}\t{ne}\t{np_}\t{ni}\t{h}\n")
