@@ -226,18 +226,34 @@ object RelationalOps {
   /** Fact-to-fact shuffle join: both sides too large to broadcast →
     * sort-merge/shuffled-hash on the join key, with AQE free to pick.
     * The one join class q2/q3's broadcast dimensions don't cover.
+    *
+    * Round-6 shape: lineitem is PARTIALLY AGGREGATED on the join key
+    * BEFORE the join (guide §2.3 "aggregate before you shuffle"), fusing
+    * what was two fact-sized Exchanges — hashpartitioning(l_orderkey) for
+    * the join plus hashpartitioning(o_orderpriority, o_orderkey) for the
+    * distinct-count — into ONE: the join's l_orderkey exchange now carries
+    * (key, count, decimal sum) partials instead of raw line items, the
+    * joined stream is orders-sized, and `countDistinct(o_orderkey)`
+    * becomes a plain count (o_orderkey is the orders PRIMARY KEY — unique
+    * at every SF, so one joined row per matched order; the DECIMAL re-sum
+    * of per-key partial sums is associative-exact, hence the oracle hash
+    * is unchanged — proven at all 3 SFs, CORRECTNESS r6).
     */
   def q12FactJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
-    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
+    val liAgg = li.groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_items"),
+        count(lit(1)).as("items_per_order"),
         sum((col("l_extendedprice").cast("decimal(18,2)")) *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+          .as("rev_per_order"))
+    liAgg.join(orders, liAgg("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("items_per_order")).as("n_items"),
+        sum(col("rev_per_order")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 

@@ -87,6 +87,39 @@ object TextShingles {
 
   def minHashSigCol(c: Column, seeds: Seq[Long]): Column =
     GraftColumns.column(MinHashSigs(GraftColumns.expression(c), seeds))
+
+  /** 60-bit SimHash over whitespace tokens WITH multiplicity (d5): bit i
+    * is set when strictly more than half the tokens have bit i of their
+    * 60-bit hash set (`2·count_i − n > 0`). Token semantics =
+    * `split(text, " ", -1)` (empties kept, incl. the single "" token of an
+    * empty document), exactly the declarative `explode(split(...))` rows;
+    * hash = [[hash60]] ≡ `conv(substring(md5(tok),1,15),16,10)`.
+    */
+  def simHashSig(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      val h = hash60(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 60) {
+        counts(i) += ((h >>> i) & 1L).toInt
+        i += 1
+      }
+      t += 1
+    }
+    val n = toks.length
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (2L * counts(i) - n > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  def simHashSigCol(c: Column): Column =
+    GraftColumns.column(SimHashSig(GraftColumns.expression(c)))
 }
 
 /** array<long> of the document's distinct word-3-gram 60-bit hashes
@@ -148,5 +181,31 @@ case class MinHashSigs(child: Expression, seeds: Seq[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** The document's 60-bit SimHash signature as one per-row fold
+  * ([[TextShingles.simHashSig]]); NULL on NULL input. Replaces d5's
+  * token explode + 61-sum hash aggregate — the explode shuffled one row
+  * PER TOKEN (an ~85× fan-out of the corpus) keyed on doc_id just to
+  * re-group rows that were already adjacent in the document; the fold
+  * computes the identical bit-majority in one pass with ZERO shuffle
+  * (the d3 MinHashSigs lesson applied to d5 in round 6).
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig needs string input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextShingles.simHashSig(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
 }

@@ -89,7 +89,16 @@ object DedupOps {
     * near-dup stage (threshold 0.8 over the funnel's dedup survivors).
     */
   private[ops] def ngramJaccardPairsOn(d: DataFrame, minJaccard: Double): DataFrame = {
-    val shArrays = hashedShinglesOn(d)
+    // ONE shingling pass (the d9/d10 spine lesson, applied to d2 in round
+    // 6): without the materialization barrier the compact hash-array frame
+    // is re-derived by each of its three consumers — the per-doc counts
+    // frame joins the pair stream on BOTH sides (two separate projections,
+    // no exchange to reuse) and the posting explode is a third — so the
+    // per-shingle md5 work and the text scan ran 3× per query. The frame
+    // is doc_id + ~85 longs per doc (no text); production swaps
+    // localCheckpoint for checkpoint()/a persisted table, as documented on
+    // decontaminate/boilerplate.
+    val shArrays = hashedShinglesOn(d).localCheckpoint()
     // per-doc distinct-shingle count straight off the array — no explode,
     // no shuffle (the old groupBy(doc_id) re-aggregated the exploded rows)
     val counts = shArrays.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -146,10 +155,10 @@ object DedupOps {
        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.05
        ORDER BY doc_a, doc_b"""
 
-  /** Portable 60-bit token hash: first 15 hex chars of md5 as bigint. */
-  private def tokHash(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
+  /** Portable 60-bit token hash (first 15 hex chars of md5 as bigint) in
+    * DuckDB-SQL form; the JVM twin is [[graft.functions.TextShingles.hash60]]
+    * inside the native d3/d5 folds.
+    */
   private def tokHashSql(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
@@ -296,25 +305,25 @@ object DedupOps {
        ORDER BY cosine DESC, ia, ib LIMIT 50"""
 
   /** SimHash: 60-bit signature; bit i set when the sum over tokens (with
-    * multiplicity) of ±1 on bit i of H(token) is positive. Single-pass: the
-    * ±1 sum per bit equals 2·(count of tokens with bit i set) − n_tokens,
-    * so one hash aggregate computes n plus 60 bit-count sums — one shuffle
-    * keyed on doc_id, no 60×-row bit explode (the per-row fan-out of the
-    * previous formulation would multiply shuffle bytes by 60 at any scale).
+    * multiplicity) of ±1 on bit i of H(token) is positive (the ±1 sum per
+    * bit equals 2·(count of tokens with bit i set) − n_tokens). Computed
+    * ENTIRELY per row by the native [[graft.functions.SimHashSig]] fold —
+    * ZERO shuffle (round 6; the d3 MinHashSigs lesson). The previous
+    * explode + 61-sum hash aggregate shuffled one row PER TOKEN keyed on
+    * doc_id just to re-group rows already adjacent in the document — at
+    * 100 TB that shuffle IS the operator's cost. Token/hash/majority
+    * semantics are bit-identical (DedupSpec pins the fold against the
+    * declarative aggregate; the DuckDB oracle is unchanged). The
+    * isNotNull filter mirrors the explode's row drop for NULL text
+    * (split(NULL) explodes to no rows), so the two forms agree on every
+    * input.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", tokHash(col("tok")))
-    val aggs = count(lit(1)).as("n") +:
-      (0 until 60).map(i => sum(expr(s"CAST((h >> $i) & 1 AS BIGINT)")).as(s"c$i"))
-    val sig = (0 until 60).map { i =>
-      when(lit(2L) * col(s"c$i") - col("n") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), sig.cast("long").as("simhash"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextShingles.simHashSigCol(col("text")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   def simhashSql: String = {
     val cs = (0 until 60).map(i => s"sum((h >> $i) & 1) AS c$i").mkString(", ")
@@ -346,11 +355,57 @@ object DedupOps {
   val NearDupBits = 2
   val NearDupTables = 20
 
+  /** Exact-vs-LSH dispatch crossover for d7/v4: BASELINE.md's measured
+    * break-even on this hardware (d6 all-pairs 25.8s ≈ d7 LSH 26.2s at
+    * n = 50k; below it the codegen'd DotProduct makes the exact quadratic
+    * the cheaper plan — at the 500-2000-vector test SFs the 20-table index
+    * costs ~20× what it saves). d7's contract is *defined* as d6's exact
+    * top-k (DedupSpec pins lshNearDupOn == embedNearDup at the test SFs,
+    * recall 1.000 measured at every AnnScale n), so below the crossover the
+    * exact path returns the identical rows for a fraction of the cost.
+    */
+  val AnnExactCrossover = 50000L
+
+  /** Production sizing targets for the above-crossover LSH path, fed to
+    * [[AnnSizing.operatingPoint]]: bits from the measured 64-vector bucket
+    * budget (the BASELINE.md AnnScale rule, bits = log2(n/64)), tables from
+    * ≥0.9 recall at the SemDeDup-floor cosine 0.95 — near-identical pairs
+    * (cosine ≥ 0.99, the ones near-dup REMOVAL acts on) then recall at
+    * ~1.0 (p^bits is far larger there; at n=10⁶/bits=14/tables=10 the
+    * formula gives 1 − 3·10⁻⁷, and AnnScale measures 1.000 on planted
+    * pairs at cosine 0.9987).
+    */
+  val NearDupTargetBucket = 64L
+  val NearDupHardestCos = 0.95
+  val NearDupTargetRecall = 0.90
+
+  /** The d7/v4 sizing decision: None = run the exact path (n at or below
+    * the measured crossover), Some(op) = run LSH at the analytically sized
+    * (bits, tables) point. Pure driver arithmetic — shared by d7, v4 and
+    * the AnnScale auto-mode harness so the dispatch cannot drift between
+    * them.
+    */
+  def annParamsFor(n: Long): Option[AnnSizing.OperatingPoint] =
+    if (n <= AnnExactCrossover) None
+    else Some(AnnSizing.operatingPoint(
+      n, NearDupTargetBucket, NearDupHardestCos, NearDupTargetRecall))
+
   def lshNearDup(spark: SparkSession, dir: String): DataFrame =
-    lshNearDupOn(
+    lshNearDupAuto(
       spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")),
-      NearDupBits, NearDupTables, 50)
+        .select(col("vec_id"), col("embedding")), 50)
+
+  /** d7 with the operating point derived from the data size instead of
+    * hardcoded constants ([[annParamsFor]]): the exact all-pairs path below
+    * the measured crossover (same contract — d7 is defined as d6's top-k),
+    * formula-sized LSH above it. The row count is one metadata-cheap
+    * zero-column scan, paid once per invocation.
+    */
+  def lshNearDupAuto(e0: DataFrame, topK: Int): DataFrame =
+    annParamsFor(e0.count()) match {
+      case None => embedNearDupOn(e0, topK)
+      case Some(op) => lshNearDupOn(e0, op.bits, op.tables, topK)
+    }
 
   /** Bucketed variant over any (vec_id, embedding) frame; at production
     * scale raise `bits` ≈ log2(n / target bucket size) and size `tables`

@@ -137,7 +137,22 @@ object VectorOps {
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val bk = bucketIndex(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
+    // d7's dispatch rule ([[DedupOps.annParamsFor]]): v4's contract is v1's
+    // exact top-20 (VectorSpec pins the equality), so below the measured
+    // crossover the brute-force scan IS the cheaper identical-output plan;
+    // above it, probe at the analytically sized (bits, tables) point.
+    DedupOps.annParamsFor(e.count()) match {
+      case None => annTopK(spark, dir)
+      case Some(op) => lshAnnTopKOn(e, op.bits, op.tables)
+    }
+  }
+
+  /** The bucketed probe at an explicit (bits, tables) point — v4's LSH
+    * machinery, unchanged; [[lshAnnTopK]] dispatches into it above the
+    * crossover.
+    */
+  private[graft] def lshAnnTopKOn(e: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val bk = bucketIndex(e, bits, tables)
     val qb = bk.filter(col("vec_id") === 0)
       .select(col("tbl").as("qtbl"), col("bkt").as("qbkt"))
     val cand = bk.join(broadcast(qb),

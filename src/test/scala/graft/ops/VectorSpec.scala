@@ -19,16 +19,25 @@ class VectorSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("v4 lshAnnTopK == v1 annTopK top-20 (full recall through the probe)") {
+  test("v4 lshAnnTopK == v1 annTopK top-20 (dispatched AND explicit LSH point)") {
     spark.sparkContext.setLogLevel("WARN")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     val exact = rows(VectorOps.annTopK(spark, sfDir))
-    val lsh = rows(VectorOps.lshAnnTopK(spark, sfDir))
-    assert(exact.size == 20 && lsh.size == 20)
+    // the dispatched query (exact path at test n — must stay identical)
+    val auto = rows(VectorOps.lshAnnTopK(spark, sfDir))
+    // the bucketed probe machinery at the oracle's fixed point — the
+    // full-recall gate kept on the above-crossover path
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lsh = rows(VectorOps.lshAnnTopKOn(
+      e, DedupOps.NearDupBits, DedupOps.NearDupTables))
+    assert(exact.size == 20 && auto.size == 20 && lsh.size == 20)
+    assert(exact.map(t => (t._1, t._2)) == auto.map(t => (t._1, t._2)),
+      "dispatched v4 diverged from the exact top-20")
     assert(exact.map(t => (t._1, t._2)) == lsh.map(t => (t._1, t._2)),
       "LSH probe missed a true top-20 neighbor")
-    exact.zip(lsh).foreach { case ((_, _, ce), (_, _, cl)) =>
+    exact.zip(auto).zip(lsh).foreach { case (((_, _, ce), (_, _, ca)), (_, _, cl)) =>
+      assert(math.abs(ce - ca) < 1e-12, s"cosine drift: $ce vs $ca")
       assert(math.abs(ce - cl) < 1e-12, s"cosine drift: $ce vs $cl")
     }
   }
@@ -76,11 +85,19 @@ class VectorSpec extends AnyFunSuite {
   }
 
   test("v4 candidate generation is an equi-join (only the 1-row query attach may nest)") {
-    val plan = VectorOps.lshAnnTopK(spark, sfDir)
+    // gate the bucketed machinery explicitly — the dispatched query takes
+    // the v1 brute-force plan below the crossover (one 1-row BNLJ attach,
+    // which this assertion also allows)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = VectorOps
+      .lshAnnTopKOn(e, DedupOps.NearDupBits, DedupOps.NearDupTables)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnlj <= 1, s"expected at most the query-vector attach as BNLJ:\n$plan")
+    val planAuto = VectorOps.lshAnnTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!planAuto.contains("CartesianProduct"), planAuto)
   }
 
   test("v5 ivfTopK: structure, probe pruning, and tail recall floor on the corpus") {
