@@ -298,11 +298,6 @@ object VectorOps {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKOn(emb(spark, dir))
 
-  /** IVF cell assignment: every vector with its full (d2, cell)-ranked
-    * cell list (`ranked`) and nearest cell (`cell`), from one broadcast of
-    * the collected 1-row cells array. Shared by the inline v5 query and
-    * the materialized index writer.
-    */
   /** Every vector with its full (d2, cell)-ranked centroid list: the one
     * broadcast-argmin primitive behind BOTH quantizer assignments (v5's
     * [[ivfAssigned]], v6's [[kmeansAssign]]) — the distance expansion, the
@@ -386,16 +381,6 @@ object VectorOps {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Probe an [[ivfWriteIndex]] layout for the top-k cosine neighbors of
-    * `query`. The centroid table is collected to rank cells driver-side —
-    * k rows, bounded by the index fan-out, never by the data; partition
-    * pruning REQUIRES a literal predicate, so this collect is the price
-    * of not scanning the corpus. The in-driver distance uses the same
-    * a·a − 2·a·c + c·c expansion with the same left-to-right double
-    * summation as [[graft.functions.DotProduct]], so the probed cells —
-    * and therefore the result — are bit-identical to the inline
-    * [[ivfTopK]] (VectorSpec pins the equality).
-    */
   /** k-means seed count (= the corpus's label fan-out, so v6's learned
     * cells are comparable to v3/v5's label-seeded quantizer) and Lloyd
     * round count for [[kmeansRefine]].
@@ -533,6 +518,16 @@ object VectorOps {
        ORDER BY ag.cell"""
   }
 
+  /** Probe an [[ivfWriteIndex]] layout for the top-k cosine neighbors of
+    * `query`. The centroid table is collected to rank cells driver-side —
+    * k rows, bounded by the index fan-out, never by the data; partition
+    * pruning REQUIRES a literal predicate, so this collect is the price
+    * of not scanning the corpus. The in-driver distance uses the same
+    * a·a − 2·a·c + c·c expansion with the same left-to-right double
+    * summation as [[graft.functions.DotProduct]], so the probed cells —
+    * and therefore the result — are bit-identical to the inline
+    * [[ivfTopK]] (VectorSpec pins the equality).
+    */
   def ivfProbeIndex(spark: SparkSession, path: String,
       query: Array[Float], k: Int): DataFrame = {
     val qd = query.map(_.toDouble)

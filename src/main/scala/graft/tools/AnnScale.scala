@@ -93,9 +93,20 @@ object AnnScale {
       val e: DataFrame = spark.range(0, n, 1, 32)
         .map(i => (i, vec(i, 64))).toDF("vec_id", "embedding").cache()
       e.count()
+      // GRAFT_ANN_AUTO=1 (round 6): exercise the SHIPPED dispatch —
+      // DedupOps.annParamsFor sizes (bits, tables) via
+      // AnnSizing.operatingPoint above the crossover and routes to the
+      // exact path below it — instead of this harness's fixed 8-table
+      // point, so the auto-sized operator is what gets measured.
+      val auto = sys.env.getOrElse("GRAFT_ANN_AUTO", "0") == "1"
       val target = sys.env.getOrElse("GRAFT_ANN_BUCKET", "64").toInt
-      val bits = math.max(2, math.ceil(math.log(n.toDouble / target) / math.log(2)).toInt)
-      val tables = 8
+      val sized = if (auto) DedupOps.annParamsFor(n) else None
+      val bits = sized.map(_.bits).getOrElse(
+        math.max(2, math.ceil(math.log(n.toDouble / target) / math.log(2)).toInt))
+      val tables = sized.map(_.tables).getOrElse(8)
+      val mode =
+        if (!auto) "fixed"
+        else if (sized.isEmpty) "auto_exact" else "auto_lsh"
 
       def pairs(df: DataFrame): (Set[(Long, Long)], Double) = {
         val t0 = System.nanoTime()
@@ -103,7 +114,9 @@ object AnnScale {
         (rows, (System.nanoTime() - t0) / 1e9)
       }
 
-      val (lshPairs, lshSec) = pairs(DedupOps.lshNearDupOn(e, bits, tables, TopK))
+      val (lshPairs, lshSec) =
+        if (auto && sized.isEmpty) pairs(DedupOps.lshNearDupAuto(e, TopK))
+        else pairs(DedupOps.lshNearDupOn(e, bits, tables, TopK))
       val (exactPairs, exactSec, exactMode) =
         if (n <= ExactCap) {
           val (p, s) = pairs(DedupOps.embedNearDupOn(e, TopK))
@@ -116,7 +129,7 @@ object AnnScale {
       val recall =
         if (exactPairs.nonEmpty) (lshPairs & exactPairs).size.toDouble / exactPairs.size
         else -1.0
-      println(f"""{"bench":"ann_scale","n":$n,"bits":$bits,"tables":$tables,"lsh_sec":$lshSec%.2f,"exact_sec":$exactSec%.2f,"exact_mode":"$exactMode","recall_vs_exact":$recall%.3f,"pairs_space":${n.toLong * (n - 1) / 2}}""")
+      println(f"""{"bench":"ann_scale","n":$n,"mode":"$mode","bits":$bits,"tables":$tables,"lsh_sec":$lshSec%.2f,"exact_sec":$exactSec%.2f,"exact_mode":"$exactMode","recall_vs_exact":$recall%.3f,"pairs_space":${n.toLong * (n - 1) / 2}}""")
       e.unpersist()
     }
     spark.stop()
