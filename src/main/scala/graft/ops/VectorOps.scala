@@ -303,6 +303,13 @@ object VectorOps {
     * [[ivfAssigned]], v6's [[kmeansAssign]]) — the distance expansion, the
     * tie-break and the collected-array broadcast live here ONCE so the two
     * paths cannot desynchronize. `cents` must carry (cell, carr).
+    *
+    * PRECONDITION (r5 advice, documented): `cents` must be non-empty — an
+    * empty centroid frame still yields one global-agg row with an empty
+    * `cells` array, assigning every vector a NULL cell, where the DuckDB
+    * oracle's CROSS JOIN with an empty cv CTE yields zero rows. Both v5/v6
+    * quantizers derive centroids from the data itself, so the frame is
+    * empty only when the corpus is (when nothing diverges).
     */
   private def rankedAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val cells1 = cents.agg(
@@ -445,6 +452,12 @@ object VectorOps {
   }
 
   private[graft] def kmeansRefineOn(e: DataFrame): DataFrame = {
+    // Seeding PRECONDITION (r5 advice, documented): vec_ids dense from 0,
+    // as every corpus this engine generates has them — `vec_id < KmeansK`
+    // is then exactly "the KmeansK smallest vec_ids" without the global
+    // sort+limit the literal reading would cost. Sparse/offset id spaces
+    // would under-seed; the oracle applies the identical predicate, so
+    // the two engines can never diverge on it either way.
     var cents = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("carr"))
