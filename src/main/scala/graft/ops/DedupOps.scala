@@ -117,13 +117,17 @@ object DedupOps {
     val postings = sh.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, MaxShingleDf))
-    // ordered pairs (a < b) from each posting list, then count per pair
+    // ordered pairs (a < b) from each posting list, then count per pair —
+    // expanded by the native [[graft.functions.OrderedPairs]] loop (round
+    // 6): the declarative nested transform/slice ran interpreted lambda
+    // plumbing once PER CANDIDATE PAIR (1.27M pairs at sf0.1), which
+    // dominated this operator's wall exactly like the pre-native shingle
+    // HOFs did
     val pairs = postings
-      .select(explode(flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs")) - i - 1),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .filter(col("p.doc_a") =!= col("p.doc_b"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(
+        graft.functions.TextShingles.orderedPairsCol(col("docs"))).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -240,10 +244,9 @@ object DedupOps {
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(explode(
+        graft.functions.TextShingles.orderedPairsCol(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -468,10 +471,9 @@ object DedupOps {
     bk.groupBy(col("tbl"), col("bkt"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          b => struct(a.as("ia"), b.as("ib")))))).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .select(explode(
+        graft.functions.TextShingles.orderedPairsCol(col("ids"))).as("p"))
+      .select(col("p.a").as("ia"), col("p.b").as("ib"))
 
   /** Hyperplane rows as DuckDB VALUES literals — Double.toString emits the
     * shortest round-trip decimal, which DuckDB's correctly-rounded parser

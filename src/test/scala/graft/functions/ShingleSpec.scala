@@ -99,4 +99,27 @@ class ShingleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("OrderedPairs == HOF transform/slice expansion (order, dups, empties)") {
+    import spark.implicits._
+    // duplicates kept (the within-doc hash-collision case d2's a != b
+    // guard absorbs), singletons/empties yield empty arrays
+    val d = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(7L, 7L, 9L), Seq(5L), Seq.empty[Long],
+      Seq(3L, 3L), (1L to 40L).toSeq)
+      .toDF("xs")
+    val hof = flatten(transform(col("xs"), (a, i) =>
+      transform(slice(col("xs"), i + lit(2), size(col("xs")) - i - 1),
+        b => struct(a.as("a"), b.as("b")))))
+    val rows = d.select(
+      TextShingles.orderedPairsCol(col("xs")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val native = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      val want = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      assert(native == want, s"pair expansion diverges: $native vs $want")
+    }
+  }
 }
