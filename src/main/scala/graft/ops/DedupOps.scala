@@ -536,10 +536,29 @@ object DedupOps {
     * reachability CTE over the same d4 edge set — algorithm-independent
     * ground truth, so the comparison is hash-exact.
     */
+  /** d8's size dispatch (the d7 [[annParamsFor]] principle applied to the
+    * component step): an LSH near-dup edge set at or below this row count
+    * is collected and union-found ON THE DRIVER — a bounded ≤~3 MB
+    * collect, the "broadcast the small side" idiom taken to its
+    * conclusion — instead of paying 3-5 driver-sequential alternating-star
+    * rounds of 4+ tiny shuffles each. Above the bound (any real dedup
+    * corpus) the distributed O(log n) star algorithm runs unchanged; it
+    * stays gated by DedupSpec's union-find-equality and round-count tests
+    * either way.
+    */
+  val CcDriverEdgeBound = 200000
+
   def lshClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = lshPairsRaw(spark, dir)
       .select(col("doc_a").as("s"), col("doc_b").as("d"))
-    val (roots, _) = connectedComponents(edges)
+    // one execution on the common path: take bound+1 rows — overflow means
+    // "go distributed" (which re-derives the full set)
+    val sample = edges.limit(CcDriverEdgeBound + 1).collect()
+    val roots =
+      if (sample.length <= CcDriverEdgeBound)
+        driverComponents(edges.sparkSession,
+          sample.map(r => (r.getLong(0), r.getLong(1))))
+      else connectedComponents(edges)._1
     val lbl = docs(spark, dir).select(col("doc_id"))
       .join(roots.withColumnRenamed("s", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
@@ -547,6 +566,34 @@ object DedupOps {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
+  }
+
+  /** Driver union-find over a bounded edge list, returning the same
+    * (s = non-root node, root = component minimum) frame shape as
+    * [[connectedComponents]] — min-rooted, roots/isolated nodes absent —
+    * so the two paths are drop-in interchangeable (DedupSpec pins their
+    * equality on the test corpus).
+    */
+  private[ops] def driverComponents(
+      spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val rows = parent.keys.toArray.map(v => (v, find(v)))
+      .filter { case (v, r) => v != r }
+    rows.toSeq.toDF("s", "root")
   }
 
   /** Alternating-star connected components over an undirected edge list

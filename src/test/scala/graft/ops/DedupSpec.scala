@@ -188,6 +188,19 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 12, s"alternating star took $rounds rounds on a 256-path")
   }
 
+  test("d8 driver union-find == distributed alternating-star on the corpus edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = DedupOps.lshPairs(spark, sfDir)
+      .select(col("doc_a").as("s"), col("doc_b").as("d"))
+    val dist = DedupOps.connectedComponents(edges)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drv = DedupOps.driverComponents(spark,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drv == dist, s"paths diverge: ${drv.diff(dist)} / ${dist.diff(drv)}")
+    assert(drv.nonEmpty, "test corpus lost its planted near-dup pairs")
+  }
+
   test("d8 lshClusters: every doc labeled, d4 pairs co-clustered, min-id keepers") {
     val rows = DedupOps.lshClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
