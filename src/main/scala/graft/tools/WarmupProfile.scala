@@ -48,6 +48,17 @@ object WarmupProfile {
       graft.ops.ExtractQueries.setSharedExtract(true)
       graft.ops.ExtractQueries.materializePlainExtract(spark, sfDir)
     }
+    // how much of the warm materialization is the columnar persist vs the
+    // extraction itself: the same pass with no persist, noop-sunk
+    graft.ops.ExtractQueries.setSharedExtract(false)
+    time("plain extract, NO persist (noop)") {
+      graft.SparkEntry.queries("x2_extract_full")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("x5 block classify (noop)") {
+      graft.SparkEntry.queries("x5_block_classify")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
